@@ -1,0 +1,162 @@
+"""Single-process straight-line oracle of the full KG pipeline (SURVEY.md §5b).
+
+This is the "reference implementation" used by the conformance tests: the Ray
+pipeline (kb_ner_ray.pipelines.kg) must reproduce these outputs at
+P/R >= 0.95 (BASELINE.md).  It reuses the same pure kernels
+(functions/, state/) but runs them in one loop with no Ray, no batching and
+no shuffles — so any disagreement isolates an orchestration bug.
+
+Linking semantics (pinned here and in stages/linker.py):
+  candidates = gazetteer surfaces -> KB ent_ids (exact token match);
+  rerank by Jaccard(analyzed sentence, analyzed KB definition sentence)
+  (the reference's disabled context_ranking seat, kb/context_process.py:552-576,
+  re-enabled as the deterministic cross-encoder stand-in, SURVEY.md §7 step 8);
+  ties -> min ent_id; no candidates -> NIL (-1).
+
+Triple semantics: adjacent linked mention pairs per sentence;
+  pred = "_".join(alpha tokens strictly between the mentions) or "related_to".
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.text import extract_text, normalize_surface, split_sentences
+from ..functions.tokenizer import subtoken_count
+from ..state.bm25 import KBIndex, analyze
+from ..state.gazetteer import Gazetteer
+
+CONTEXT_BUDGET = 510  # XLM-R subtoken budget, kb/context_process.py:974
+TOP_K = 10            # kb/generate_data.py:39,120
+
+
+def link_mention(surface_tokens: tuple, sent_tokens: list[str],
+                 gaz: Gazetteer, ent_def_tokens: dict[int, set]) -> int:
+    cands = gaz.candidates.get(tuple(surface_tokens), [])
+    if not cands:
+        return -1
+    if len(cands) == 1:
+        return cands[0]
+    sent_set = set(analyze(" ".join(sent_tokens)))
+    best = None
+    for ent in sorted(cands):
+        defs = ent_def_tokens.get(ent, set())
+        denom = len(sent_set | defs)
+        j = (len(sent_set & defs) / denom) if denom else 0.0
+        if best is None or j > best[0]:
+            best = (j, ent)
+    return best[1]
+
+
+def attach_contexts(sentence: str, hits: list[tuple[str, float]],
+                    budget: int = CONTEXT_BUDGET) -> tuple[str, int]:
+    """Greedy budgeted context stitch (kb/context_process.py:401-479).
+
+    Walk hits in rank order; stop early when remaining budget < 10; skip a
+    context whose subtoken cost would overflow; append the rest after an
+    ``<EOS>`` separator.  Returns (augmented_text, n_contexts_used).
+    """
+    count = subtoken_count(sentence)
+    used: list[str] = []
+    for ctx, _score in hits:
+        if budget - count < 10:
+            break
+        ctx = "".join(c for c in ctx if c.isprintable())
+        cost = subtoken_count(ctx)
+        if cost + count + 1 > budget:
+            continue
+        count += cost
+        used.append(ctx)
+    if used:
+        return sentence + " <EOS> " + " ".join(used), len(used)
+    return sentence, 0
+
+
+def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,
+               with_retrieval: bool = True) -> dict[str, pa.Table]:
+    """Full pipeline, one process. Returns sentences/mentions/contexts/
+    linked mentions/triples tables (plain python -> arrow)."""
+    gaz = Gazetteer(gazetteer.to_pylist())
+    kb_rows = kb.to_pylist()
+    index = KBIndex(kb_rows) if with_retrieval else None
+    ent_def_tokens: dict[int, set] = {}
+    for r in kb_rows:
+        if r["s_id"] == 0:
+            ent_def_tokens[r["ent_id"]] = set(analyze(r["sentence"]))
+    ent_title = {r["ent_id"]: r["title"] for r in kb_rows}
+
+    sent_rows, ment_rows, ctx_rows, trip_rows = [], [], [], []
+    for page in pages.to_pylist():
+        text = extract_text(page["html"])
+        for sent_id, sent in enumerate(split_sentences(text, page["lang"])):
+            tokens = sent.split()
+            sent_rows.append((page["url"], sent_id, sent, page["lang"]))
+            if index is not None:
+                hits = index.search(sent, k=TOP_K)
+                for rank, (row_i, score) in enumerate(hits):
+                    ctx_rows.append((page["url"], sent_id, rank,
+                                     kb_rows[row_i]["kb_id"], score,
+                                     kb_rows[row_i]["sentence"],
+                                     kb_rows[row_i]["title"]))
+                aug, _n = attach_contexts(
+                    sent, [(kb_rows[i]["sentence"], s) for i, s in hits])
+            else:
+                aug = sent
+            # tag over the augmented token sequence; only the original-
+            # sentence region yields mentions (reference: context tokens are
+            # B-X/S-X and gen_item stops at <EOS>, ensemble_prediction.py:368)
+            aug_tokens = aug.split()
+            spans = gaz.mentions_via_codec(aug_tokens)
+            spans = [s for s in spans if s[1] <= len(tokens)]
+            linked = []
+            for start, end, label, score in spans:
+                surf = tokens[start:end]
+                ent = link_mention(tuple(surf), tokens, gaz, ent_def_tokens)
+                ment_rows.append((page["url"], sent_id, start, end,
+                                  " ".join(surf), label, score, ent))
+                linked.append((start, end, ent))
+            linked.sort()
+            for (s1, e1, ent1), (s2, e2, ent2) in zip(linked, linked[1:]):
+                mid = [w for w in tokens[e1:s2] if w.isalpha()]
+                pred = "_".join(mid) or "related_to"
+                n1 = (ent_title[ent1] if ent1 >= 0
+                      else normalize_surface(" ".join(tokens[s1:e1])))
+                n2 = (ent_title[ent2] if ent2 >= 0
+                      else normalize_surface(" ".join(tokens[s2:e2])))
+                trip_rows.append((n1, pred, n2, page["url"], sent_id, 1.0))
+
+    sentences = pa.table({
+        "url": [r[0] for r in sent_rows],
+        "sent_id": pa.array([r[1] for r in sent_rows], pa.int32()),
+        "text": [r[2] for r in sent_rows],
+        "lang": [r[3] for r in sent_rows],
+    })
+    mentions = pa.table({
+        "url": [r[0] for r in ment_rows],
+        "sent_id": pa.array([r[1] for r in ment_rows], pa.int32()),
+        "start_tok": pa.array([r[2] for r in ment_rows], pa.int32()),
+        "end_tok": pa.array([r[3] for r in ment_rows], pa.int32()),
+        "surface": [r[4] for r in ment_rows],
+        "label": [r[5] for r in ment_rows],
+        "score": pa.array([r[6] for r in ment_rows], pa.float32()),
+        "ent_id": pa.array([r[7] for r in ment_rows], pa.int64()),
+    })
+    contexts = pa.table({
+        "url": [r[0] for r in ctx_rows],
+        "sent_id": pa.array([r[1] for r in ctx_rows], pa.int32()),
+        "rank": pa.array([r[2] for r in ctx_rows], pa.int32()),
+        "kb_id": pa.array([r[3] for r in ctx_rows], pa.int64()),
+        "score": pa.array([r[4] for r in ctx_rows], pa.float32()),
+        "kb_sentence": [r[5] for r in ctx_rows],
+        "kb_title": [r[6] for r in ctx_rows],
+    })
+    triples = pa.table({
+        "subj": [r[0] for r in trip_rows],
+        "pred": [r[1] for r in trip_rows],
+        "obj": [r[2] for r in trip_rows],
+        "url": [r[3] for r in trip_rows],
+        "sent_id": pa.array([r[4] for r in trip_rows], pa.int32()),
+        "score": pa.array([r[5] for r in trip_rows], pa.float32()),
+    })
+    return {"sentences": sentences, "mentions": mentions,
+            "contexts": contexts, "triples": triples}

@@ -1,0 +1,54 @@
+"""Deterministic word tokenizer with char offsets + a BPE-ish subtoken counter.
+
+Fills two reference seats:
+
+* whitespace tokenization with recovered char offsets — reference
+  ``flair/datasets.py:933`` (``re.split("\\s+")``) + whitespace-offset
+  inference (``flair/data.py:647-678``);
+* the XLM-R subtoken counter used for the 510-subtoken context budget —
+  reference ``kb/context_process.py:760-763`` loads
+  ``AutoTokenizer('xlm-roberta-large')``; transformers is not available in
+  this environment, so the engine pins a deterministic BPE-ish stand-in with
+  the same *interface* and the same budget semantics (greedy additive count,
+  SURVEY.md §7 hard part (b)).  A real deployment swaps ``subtoken_count``
+  for the HF tokenizer inside the same actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WORD_RE = re.compile(r"\S+")
+# BPE-ish segmentation: a word costs 1 subtoken per leading 4-char piece,
+# +1 per non-alphanumeric char (punctuation splits), CJK chars cost 1 each.
+_CJK_RE = re.compile(r"[一-鿿]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def tokenize_with_offsets(text: str) -> tuple[list[str], list[int], list[int]]:
+    """Whitespace tokens + char start/end offsets. Offsets index into ``text``."""
+    tokens, starts, ends = [], [], []
+    for m in _WORD_RE.finditer(text):
+        tokens.append(m.group(0))
+        starts.append(m.start())
+        ends.append(m.end())
+    return tokens, starts, ends
+
+
+def subtoken_count(text: str) -> int:
+    """Deterministic stand-in for ``len(xlmr_tokenizer.tokenize(text))``.
+
+    Cost model: each CJK char = 1; each punctuation char = 1; each remaining
+    alphanumeric run = ceil(len/4) (XLM-R averages ~4 chars/subtoken on
+    latin text). Additive over whitespace tokens, like a real subword
+    tokenizer without cross-word merges.
+    """
+    count = 0
+    for word in text.split():
+        cjk = len(_CJK_RE.findall(word))
+        punct = len(_PUNCT_RE.findall(word))
+        rest = len(word) - cjk - punct
+        count += cjk + punct + (rest + 3) // 4 if (cjk or punct or rest) else 0
+        if rest == 0 and cjk == 0 and punct == 0:
+            count += 1
+    return count
