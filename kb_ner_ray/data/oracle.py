@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..functions.canon import build_canonical_map
 from ..functions.text import extract_text, normalize_surface, split_sentences
 from ..functions.tokenizer import subtoken_count
 from ..state.bm25 import KBIndex, analyze
@@ -85,7 +86,7 @@ def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,
             ent_def_tokens[r["ent_id"]] = set(analyze(r["sentence"]))
     ent_title = {r["ent_id"]: r["title"] for r in kb_rows}
 
-    sent_rows, ment_rows, ctx_rows, trip_rows = [], [], [], []
+    sent_rows, ment_rows, ctx_rows, raw_trip_rows = [], [], [], []
     for page in pages.to_pylist():
         text = extract_text(page["html"])
         for sent_id, sent in enumerate(split_sentences(text, page["lang"])):
@@ -119,11 +120,9 @@ def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,
             for (s1, e1, ent1), (s2, e2, ent2) in zip(linked, linked[1:]):
                 mid = [w for w in tokens[e1:s2] if w.isalpha()]
                 pred = "_".join(mid) or "related_to"
-                n1 = (ent_title[ent1] if ent1 >= 0
-                      else normalize_surface(" ".join(tokens[s1:e1])))
-                n2 = (ent_title[ent2] if ent2 >= 0
-                      else normalize_surface(" ".join(tokens[s2:e2])))
-                trip_rows.append((n1, pred, n2, page["url"], sent_id, 1.0))
+                raw_trip_rows.append(
+                    (" ".join(tokens[s1:e1]), ent1, pred,
+                     " ".join(tokens[s2:e2]), ent2, page["url"], sent_id))
 
     sentences = pa.table({
         "url": [r[0] for r in sent_rows],
@@ -150,6 +149,23 @@ def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,
         "kb_sentence": [r[5] for r in ctx_rows],
         "kb_title": [r[6] for r in ctx_rows],
     })
+    # canonicalization pass: corpus-wide link counts -> canonical map
+    # (same kernel as the distributed stage, functions/canon.py)
+    link_counts: dict[tuple[str, int], int] = {}
+    for r in ment_rows:
+        if r[7] >= 0:
+            key = (normalize_surface(r[4]), r[7])
+            link_counts[key] = link_counts.get(key, 0) + 1
+    canon = build_canonical_map(link_counts, ent_title)
+
+    def canonical(surface: str, ent: int) -> str:
+        norm = normalize_surface(surface)
+        return canon.get(norm, norm)
+
+    trip_rows = [
+        (canonical(s1, e1), pred, canonical(s2, e2), url, sid, 1.0)
+        for s1, e1, pred, s2, e2, url, sid in raw_trip_rows
+    ]
     triples = pa.table({
         "subj": [r[0] for r in trip_rows],
         "pred": [r[1] for r in trip_rows],

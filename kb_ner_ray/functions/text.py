@@ -19,10 +19,7 @@ import re
 # follows a CJK char / CJK punctuation (unless before a latin letter).
 _CLEAN_SPACE_RE = re.compile("[一-龥。，！：《》、（）]{1} +(?<![a-zA-Z])")
 
-# reference: kb/context_process.py:24-33 (replace_ZH) — drop spaces adjacent
-# to any CJK char.
 _ZH_CHAR = "[一-鿿]"
-_REPLACE_ZH_RE = re.compile(f"({_ZH_CHAR}) +| +({_ZH_CHAR})")
 
 # reference: kb/context_process.py:142-151 (replace_zh_space) — also digits
 # glued to CJK runs.
@@ -44,12 +41,10 @@ def clean_space(text: str) -> str:
 
 
 def replace_zh(text: str) -> str:
-    """Drop spaces adjacent to CJK chars (reference kb/context_process.py:24-33)."""
-    prev = None
-    while prev != text:
-        prev = text
-        text = _REPLACE_ZH_RE.sub(lambda m: m.group(1) or m.group(2), text)
-    return text
+    """Reference kb/context_process.py:24-33 (replace_ZH) — byte-for-byte the
+    same algorithm as _clean_space (the two reference helpers are identical;
+    both remove the space that FOLLOWS a CJK char/punct)."""
+    return clean_space(text)
 
 
 def replace_zh_space(text: str) -> str:
@@ -106,9 +101,11 @@ def normalize_surface(surface: str) -> str:
 # --- HTML -> text extraction (the M1 seat) ----------------------------------
 
 # Boilerplate containers removed wholesale (trafilatura-style pruning).
+# innermost-first: the body may not contain another OPENING tag of the same
+# name, so the fixpoint loop in extract_text peels nested blocks inside-out.
 _DROP_BLOCK_RE = re.compile(
     r"<(script|style|nav|header|head|title|footer|aside|noscript|form|iframe)"
-    r"\b[^>]*>.*?</\1>",
+    r"\b[^>]*>(?:(?!<\1\b).)*?</\1\s*>",
     re.DOTALL | re.IGNORECASE,
 )
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)

@@ -1,0 +1,85 @@
+"""Distributed entity canonicalization (north-star stage 4; SURVEY.md §7.9).
+
+Three phases, shuffle-light by construction:
+
+1. **Partial count** (map_batches, no shuffle): per batch, pre-aggregate
+   (normalized_surface, ent_id) link counts from the raw-triple sides — the
+   combiner pattern from the Ray guide, so the groupby only ever sees one row
+   per (surface, ent) per batch, not one per mention.
+2. **Global count** (the only shuffle): ``groupby([surface, ent]).sum`` over
+   the tiny partials; result size is bounded by the entity vocabulary, NOT
+   the corpus, so collecting it on the driver is safe at any corpus scale.
+   Surface-key skew ("hot surfaces", north rule) is absorbed by phase 1:
+   a hot surface contributes at most one row per batch.
+3. **Apply** (map_batches, no shuffle): broadcast the surface->canonical dict
+   (functions/canon.py kernel) via ``ray.put`` and map both triple sides.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..functions.canon import build_canonical_map
+from ..functions.text import normalize_surface
+
+
+def partial_link_counts(batch: pa.Table) -> pa.Table:
+    """Raw triples batch -> distinct (surface, ent, cnt) partial counts."""
+    counts: dict[tuple[str, int], int] = {}
+    for surf_col, ent_col in (("subj_surface", "subj_ent"),
+                              ("obj_surface", "obj_ent")):
+        for surf, ent in zip(batch.column(surf_col).to_pylist(),
+                             batch.column(ent_col).to_pylist()):
+            if ent >= 0:
+                key = (normalize_surface(surf), ent)
+                counts[key] = counts.get(key, 0) + 1
+    return pa.table(
+        {
+            "surface": pa.array([k[0] for k in counts], pa.string()),
+            "ent_id": pa.array([k[1] for k in counts], pa.int64()),
+            "cnt": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def compute_canonical_map(raw_triples, ent_title: dict[int, str]) -> dict[str, str]:
+    """Phases 1+2: Dataset of raw triples -> surface->canonical dict."""
+    from ray.data.aggregate import Sum
+
+    partials = raw_triples.map_batches(partial_link_counts,
+                                       batch_format="pyarrow")
+    agg = partials.groupby(["surface", "ent_id"]).aggregate(
+        Sum("cnt", alias_name="n"))
+    pdf = agg.to_pandas()  # vocabulary-sized, safe on the driver
+    link_counts = {
+        (r.surface, int(r.ent_id)): int(r.n) for r in pdf.itertuples()
+    }
+    return build_canonical_map(link_counts, ent_title)
+
+
+class ApplyCanonical:
+    """Raw triples -> final (subj, pred, obj, url, sent_id, score)."""
+
+    def __init__(self, canon_ref):
+        self.canon = ray.get(canon_ref) if isinstance(canon_ref, ray.ObjectRef) \
+            else canon_ref
+
+    def _name(self, surface: str) -> str:
+        norm = normalize_surface(surface)
+        return self.canon.get(norm, norm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj = [self._name(s) for s in batch.column("subj_surface").to_pylist()]
+        obj = [self._name(s) for s in batch.column("obj_surface").to_pylist()]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": batch.column("pred"),
+                "obj": pa.array(obj, pa.string()),
+                "url": batch.column("url"),
+                "sent_id": batch.column("sent_id"),
+                "score": pa.array([1.0] * n, pa.float32()),
+            }
+        )

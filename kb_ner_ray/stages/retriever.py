@@ -1,0 +1,84 @@
+"""BM25 retrieval + budgeted context attach actor stages.
+
+Fills the reference seats T4 (ES retriever, kb/generate_data.py:33-68),
+J2 (query->KB top-k broadcast-small-side join) and M12/J1 (context attach,
+kb/context_process.py:213-502).
+
+Design: the KB is the SMALL side — it is ``ray.put`` once on the driver and
+every actor builds its in-process BM25 index from that broadcast in
+``__init__`` (no shuffle join; SURVEY.md §2.4).  Retrieval and context
+attach are FUSED in one actor (`RetrieveAttach`) so the top-k hits never
+cross a stage boundary; a separate `Retriever` actor emits the contexts
+table itself (the reference's retrieval-TSV output, S7) for
+inspection/queries.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..data.oracle import TOP_K, attach_contexts
+from ..state.bm25 import KBIndex
+
+
+class _KBActorBase:
+    def __init__(self, kb_ref):
+        kb_rows = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
+        self.kb_rows = kb_rows
+        self.index = KBIndex(kb_rows)
+
+
+class Retriever(_KBActorBase):
+    """sentences(url, sent_id, text, ...) -> contexts(url, sent_id, rank,
+    kb_id, score, kb_sentence, kb_title); top-10 per query."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, sids, ranks, kb_ids, scores, ksents, ktitles = [], [], [], [], [], [], []
+        for url, sid, text in zip(
+            batch.column("url").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for rank, (row_i, score) in enumerate(self.index.search(text, k=TOP_K)):
+                r = self.kb_rows[row_i]
+                urls.append(url)
+                sids.append(sid)
+                ranks.append(rank)
+                kb_ids.append(r["kb_id"])
+                scores.append(score)
+                ksents.append(r["sentence"])
+                ktitles.append(r["title"])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "sent_id": pa.array(sids, pa.int32()),
+                "rank": pa.array(ranks, pa.int32()),
+                "kb_id": pa.array(kb_ids, pa.int64()),
+                "score": pa.array(scores, pa.float32()),
+                "kb_sentence": pa.array(ksents, pa.string()),
+                "kb_title": pa.array(ktitles, pa.string()),
+            }
+        )
+
+
+class RetrieveAttach(_KBActorBase):
+    """sentences -> sentences + (aug_text, n_contexts).
+
+    ``aug_text`` = sentence [+ " <EOS> " + contexts] under the 510-subtoken
+    budget with the reference's greedy skip-on-overflow loop
+    (kb/context_process.py:401-479 semantics via oracle.attach_contexts).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        augs, n_ctxs = [], []
+        for text in batch.column("text").to_pylist():
+            hits = self.index.search(text, k=TOP_K)
+            aug, n = attach_contexts(
+                text, [(self.kb_rows[i]["sentence"], s) for i, s in hits]
+            )
+            augs.append(aug)
+            n_ctxs.append(n)
+        return batch.append_column(
+            "aug_text", pa.array(augs, pa.string())
+        ).append_column("n_contexts", pa.array(n_ctxs, pa.int32()))

@@ -1,0 +1,34 @@
+"""Page -> sentence explode (the reference's M2 seat, kb/parse_text.py:17-32).
+
+Stateless ``map_batches`` flat-map: each input page row yields one output row
+per sentence, keys ``(url, sent_id)`` carried explicitly (SURVEY.md §2.9 —
+never rely on physical order).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.text import split_sentences
+
+
+def explode_sentences(batch: pa.Table) -> pa.Table:
+    urls, sent_ids, texts, langs = [], [], [], []
+    for url, text, lang in zip(
+        batch.column("url").to_pylist(),
+        batch.column("text").to_pylist(),
+        batch.column("lang").to_pylist(),
+    ):
+        for sid, sent in enumerate(split_sentences(text, lang)):
+            urls.append(url)
+            sent_ids.append(sid)
+            texts.append(sent)
+            langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "sent_id": pa.array(sent_ids, pa.int32()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )

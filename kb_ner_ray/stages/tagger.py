@@ -1,0 +1,134 @@
+"""Mention detection + entity linking + raw-triple emission actor stages.
+
+Fills the reference seats T2+T3 (the fused embedder+CRF tagger,
+flair/models/sequence_tagger_model.py — here the deterministic gazetteer
+stand-in behind the same interface, SURVEY.md §7 step 5), M15/M16 (span
+decode via the pinned codec), J5 (map-side lookup against a broadcast entity
+dict) and the triple-emit seat (S11).
+
+All state (gazetteer trie, candidate map, KB definition tokens, titles) is
+built once per actor from ``ray.put`` broadcasts.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..data.oracle import link_mention
+from ..state.bm25 import analyze
+from ..state.gazetteer import Gazetteer
+
+
+def _get(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+class _GazActorBase:
+    def __init__(self, gaz_ref, kb_ref=None):
+        self.gaz = Gazetteer(_get(gaz_ref))
+        self.ent_def_tokens: dict[int, set] = {}
+        self.ent_title: dict[int, str] = {}
+        if kb_ref is not None:
+            for r in _get(kb_ref):
+                if r["s_id"] == 0:
+                    self.ent_def_tokens[r["ent_id"]] = set(analyze(r["sentence"]))
+                self.ent_title[r["ent_id"]] = r["title"]
+
+    def _sentence_mentions(self, text: str, aug_text: str | None):
+        """Tag the augmented token sequence, keep spans inside the original
+        sentence region (context tokens are the reference's B-X/S-X masked
+        region; gen_item stops at <EOS>, ensemble_prediction.py:368)."""
+        tokens = text.split()
+        aug_tokens = aug_text.split() if aug_text is not None else tokens
+        spans = self.gaz.mentions_via_codec(aug_tokens)
+        return tokens, [s for s in spans if s[1] <= len(tokens)]
+
+
+class TagLink(_GazActorBase):
+    """(url, sent_id, text[, aug_text]) -> mentions rows with ent_id."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        has_aug = "aug_text" in batch.column_names
+        urls, sids, starts, ends, surfs, labels, scores, ents = (
+            [], [], [], [], [], [], [], [])
+        for i, (url, sid, text) in enumerate(zip(
+            batch.column("url").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        )):
+            aug = batch.column("aug_text")[i].as_py() if has_aug else None
+            tokens, spans = self._sentence_mentions(text, aug)
+            for start, end, label, score in spans:
+                surf = tokens[start:end]
+                ent = link_mention(tuple(surf), tokens, self.gaz,
+                                   self.ent_def_tokens)
+                urls.append(url)
+                sids.append(sid)
+                starts.append(start)
+                ends.append(end)
+                surfs.append(" ".join(surf))
+                labels.append(label)
+                scores.append(score)
+                ents.append(ent)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "sent_id": pa.array(sids, pa.int32()),
+                "start_tok": pa.array(starts, pa.int32()),
+                "end_tok": pa.array(ends, pa.int32()),
+                "surface": pa.array(surfs, pa.string()),
+                "label": pa.array(labels, pa.string()),
+                "score": pa.array(scores, pa.float32()),
+                "ent_id": pa.array(ents, pa.int64()),
+            }
+        )
+
+
+class TagLinkTriples(_GazActorBase):
+    """(url, sent_id, text[, aug_text]) -> RAW triples: surfaces + ent ids.
+
+    subj/obj are still raw (surface, ent_id) pairs; the canonicalization
+    stage (stages/canonicalize.py) maps them to canonical names.
+    Triple rule (pinned in data/oracle.py): adjacent mention pairs,
+    pred = "_".join(alpha tokens strictly between) or "related_to".
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        has_aug = "aug_text" in batch.column_names
+        s_surf, s_ent, preds, o_surf, o_ent, urls, sids = ([], [], [], [], [], [], [])
+        for i, (url, sid, text) in enumerate(zip(
+            batch.column("url").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        )):
+            aug = batch.column("aug_text")[i].as_py() if has_aug else None
+            tokens, spans = self._sentence_mentions(text, aug)
+            linked = []
+            for start, end, label, score in spans:
+                surf = tokens[start:end]
+                ent = link_mention(tuple(surf), tokens, self.gaz,
+                                   self.ent_def_tokens)
+                linked.append((start, end, " ".join(surf), ent))
+            linked.sort()
+            for (s1, e1, surf1, ent1), (s2, e2, surf2, ent2) in zip(
+                    linked, linked[1:]):
+                mid = [w for w in tokens[e1:s2] if w.isalpha()]
+                s_surf.append(surf1)
+                s_ent.append(ent1)
+                preds.append("_".join(mid) or "related_to")
+                o_surf.append(surf2)
+                o_ent.append(ent2)
+                urls.append(url)
+                sids.append(sid)
+        return pa.table(
+            {
+                "subj_surface": pa.array(s_surf, pa.string()),
+                "subj_ent": pa.array(s_ent, pa.int64()),
+                "pred": pa.array(preds, pa.string()),
+                "obj_surface": pa.array(o_surf, pa.string()),
+                "obj_ent": pa.array(o_ent, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "sent_id": pa.array(sids, pa.int32()),
+            }
+        )

@@ -1,0 +1,111 @@
+"""End-to-end conformance: Ray pipeline vs the single-process oracle.
+
+This is the BASELINE.md gate: triple P/R >= 0.95 vs the reference extractor
+semantics (here: data/oracle.py, which pins them; the Ray engine must match
+it, and the oracle itself is held to >= 0.95 against the generator gold)."""
+
+import pyarrow as pa
+import pytest
+import ray
+
+from kb_ner_ray.data.oracle import run_oracle
+from kb_ner_ray.data.synth import generate_corpus
+from kb_ner_ray.functions.spans import span_prf
+from kb_ner_ray.stages.canonicalize import ApplyCanonical, compute_canonical_map
+from kb_ner_ray.stages.extract import extract_pages
+from kb_ner_ray.stages.retriever import RetrieveAttach, Retriever
+from kb_ner_ray.stages.sentences import explode_sentences
+from kb_ner_ray.stages.tagger import TagLink, TagLinkTriples
+
+KEY_COLS = ["subj", "pred", "obj", "url", "sent_id"]
+
+
+@pytest.fixture(scope="module")
+def oracle_out(tiny_corpus):
+    return run_oracle(tiny_corpus["pages"], tiny_corpus["kb"],
+                      tiny_corpus["gazetteer"])
+
+
+@pytest.fixture(scope="module")
+def refs(tiny_corpus):
+    return {
+        "kb_ref": ray.put(tiny_corpus["kb"].to_pylist()),
+        "gaz_ref": ray.put(tiny_corpus["gazetteer"].to_pylist()),
+        "ent_title": {r["ent_id"]: r["title"]
+                      for r in tiny_corpus["kb"].to_pylist()},
+    }
+
+
+def _sentences_ds(tiny_corpus):
+    return (
+        ray.data.from_arrow(tiny_corpus["pages"])
+        .map_batches(extract_pages, batch_format="pyarrow")
+        .map_batches(explode_sentences, batch_format="pyarrow")
+    )
+
+
+def _rows(tbl, cols):
+    if isinstance(tbl, pa.Table):
+        return [tuple(r[c] for c in cols) for r in tbl.to_pylist()]
+    return [tuple(r) for r in tbl[cols].itertuples(index=False)]
+
+
+def test_extract_and_explode_match_oracle(tiny_corpus, oracle_out):
+    got = _sentences_ds(tiny_corpus).to_pandas()
+    want = oracle_out["sentences"].to_pandas()
+    cols = ["url", "sent_id", "text"]
+    got_s = got[cols].sort_values(cols).reset_index(drop=True)
+    want_s = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got_s.equals(want_s)
+
+
+def test_retriever_contexts_match_oracle(tiny_corpus, oracle_out, refs):
+    ds = _sentences_ds(tiny_corpus).map_batches(
+        Retriever, fn_constructor_kwargs={"kb_ref": refs["kb_ref"]},
+        batch_format="pyarrow", concurrency=2)
+    cols = ["url", "sent_id", "rank", "kb_id"]
+    got = sorted(_rows(ds.to_pandas(), cols))
+    want = sorted(_rows(oracle_out["contexts"], cols))
+    assert got == want
+
+
+def test_mentions_match_oracle(tiny_corpus, oracle_out, refs):
+    ds = _sentences_ds(tiny_corpus).map_batches(
+        RetrieveAttach, fn_constructor_kwargs={"kb_ref": refs["kb_ref"]},
+        batch_format="pyarrow", concurrency=2,
+    ).map_batches(
+        TagLink, fn_constructor_kwargs={"gaz_ref": refs["gaz_ref"],
+                                        "kb_ref": refs["kb_ref"]},
+        batch_format="pyarrow", concurrency=2)
+    cols = ["url", "sent_id", "start_tok", "end_tok", "label", "ent_id"]
+    got = sorted(_rows(ds.to_pandas(), cols))
+    want = sorted(_rows(oracle_out["mentions"], cols))
+    assert got == want
+
+
+def test_triples_conformance_ge_095(tiny_corpus, oracle_out, refs):
+    raw = _sentences_ds(tiny_corpus).map_batches(
+        RetrieveAttach, fn_constructor_kwargs={"kb_ref": refs["kb_ref"]},
+        batch_format="pyarrow", concurrency=2,
+    ).map_batches(
+        TagLinkTriples, fn_constructor_kwargs={"gaz_ref": refs["gaz_ref"],
+                                               "kb_ref": refs["kb_ref"]},
+        batch_format="pyarrow", concurrency=2,
+    ).materialize()
+    canon = compute_canonical_map(raw, refs["ent_title"])
+    final = raw.map_batches(
+        ApplyCanonical, fn_constructor_kwargs={"canon_ref": ray.put(canon)},
+        batch_format="pyarrow", concurrency=2)
+    got = _rows(final.to_pandas(), KEY_COLS)
+    want = _rows(oracle_out["triples"], KEY_COLS)
+    p, r, f1, *_ = span_prf(want, got)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # in fact the engine matches the oracle exactly
+    assert sorted(got) == sorted(want)
+
+
+def test_oracle_vs_generator_gold_ge_095(tiny_corpus, oracle_out):
+    want = _rows(tiny_corpus["triples"], KEY_COLS)
+    got = _rows(oracle_out["triples"], KEY_COLS)
+    p, r, f1, *_ = span_prf(want, got)
+    assert p >= 0.95 and r >= 0.95, (p, r)

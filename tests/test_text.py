@@ -1,0 +1,87 @@
+"""Normalizer + extractor + splitter unit tests (reference seats M1-M11)."""
+
+from kb_ner_ray.functions.text import (
+    clean_space,
+    extract_text,
+    gen_sentence,
+    normalize_surface,
+    printable_only,
+    replace_zh,
+    replace_zh_space,
+    split_keyword,
+    split_sentences,
+)
+
+
+def test_clean_space_removes_space_after_cjk():
+    assert clean_space("中文 测试") == "中文测试"
+    # note: the reference's (?<![a-zA-Z]) lookbehind sits after ' +' and thus
+    # inspects a space — it never fires, so CJK+space collapses even before
+    # latin (verified against kb/generate_data.py:70-79 behavior)
+    assert clean_space("中 a b") == "中a b"
+    assert clean_space("no cjk here") == "no cjk here"
+
+
+def test_replace_zh():
+    # identical semantics to clean_space (see reference context_process.py:24-33):
+    # single pass — spaces AFTER CJK go; the space before 测 (after latin) stays
+    assert replace_zh("中 文 abc 测 试") == "中文abc 测试"
+
+
+def test_replace_zh_space_digits():
+    assert replace_zh_space("中1 文") == "中1文"
+
+
+def test_split_keyword():
+    assert split_keyword("abc中文123") == ["abc", "中", "文", "123"]
+
+
+def test_gen_sentence_zh_glues_cjk_runs():
+    assert gen_sentence(["中", "文", "abc", "文"], lang="zh") == "中文 abc 文"
+    assert gen_sentence(["a", "b"], lang="en") == "a b"
+
+
+def test_printable_only():
+    assert printable_only("a‎b﻿c") == "abc"
+
+
+def test_normalize_surface():
+    assert normalize_surface("  Acme,  CORP. ") == "acme corp"
+    assert normalize_surface("F. Okafor") == "f okafor"
+
+
+def test_extract_text_drops_boilerplate():
+    html = (b"<html><head><title>T</title><style>a{}</style></head><body>"
+            b"<nav><a href='/'>Home</a></nav><header><h1>H</h1></header>"
+            b"<article><p>Hello world.</p><p>Second para.</p></article>"
+            b"<aside>rel</aside><footer>foot</footer>"
+            b"<script>var x=1;</script></body></html>")
+    assert extract_text(html) == "Hello world.\nSecond para."
+
+
+def test_extract_text_entities_and_comments():
+    html = "<p>A &amp; B <!-- hidden --> &lt;tag&gt;</p>"
+    assert extract_text(html) == "A & B <tag>"
+
+
+def test_extract_text_nested_drop_blocks():
+    html = "<div><nav>x<nav>y</nav>z</nav><p>keep</p></div>"
+    out = extract_text(html)
+    assert "keep" in out and "x" not in out and "z" not in out
+
+
+def test_split_sentences_basic():
+    assert split_sentences("One . Two ! Three ?") == ["One .", "Two !", "Three ?"]
+
+
+def test_split_sentences_initials_not_split():
+    got = split_sentences("F. Okafor visited . Next one .")
+    assert got == ["F. Okafor visited .", "Next one ."]
+
+
+def test_split_sentences_newline_splits():
+    assert split_sentences("a\nb") == ["a", "b"]
+
+
+def test_split_sentences_zh():
+    assert split_sentences("你好。再见！", lang="zh") == ["你好。", "再见！"]
