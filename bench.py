@@ -1,0 +1,158 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+    python bench.py              # headline run at $RAY_GRAFT_CPUS (def. 32)
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes + scaling efficiency
+    python bench.py --oracle     # single-process reference-semantics
+                                 # oracle on the same corpus (baseline row)
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1). The KG corpus for that
+scale factor is generated (cached) BEFORE timing starts; one untimed read
+warms the page cache so the timed section measures compute + shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# benched queries beyond the headline (name -> callable via queries registry)
+SIDE_QUERIES = [
+    "pricing_summary",
+    "events_sessionize",
+    "doc_token_stats",
+    "minhash_dedup",
+    "knn_bruteforce",
+    "kg_mentions",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a result and return its row count."""
+    import ray
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kb_ner_ray.data.synth import corpus_dir, sf_dir_to_sf
+    from kb_ner_ray.pipelines.queries import queries_registry
+
+    sf = sf_dir_to_sf(SF_DIR)
+    corpus = corpus_dir(sf)  # generate/cache BEFORE timing
+
+    # warm the OS page cache (untimed)
+    import ray.data as rd
+
+    rd.read_parquet(corpus + "/pages").count()
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    reg = queries_registry()
+    timings: dict[str, float] = {}
+
+    # headline: the flagship KG pipeline
+    t0 = time.time()
+    n_triples = _consume(reg["kg_triples"](SF_DIR))
+    headline = time.time() - t0
+    timings["kg_triples"] = round(headline, 3)
+
+    for name in SIDE_QUERIES:
+        t0 = time.time()
+        _consume(reg[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_triples_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+
+
+def run_oracle() -> dict:
+    """Single-process straight-line oracle (the reference-shaped baseline)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kb_ner_ray.data.oracle import run_oracle as _oracle
+    from kb_ner_ray.data.synth import corpus_dir, sf_dir_to_sf
+    from kb_ner_ray.pipelines.kg import _read_table_dir
+
+    corpus = corpus_dir(sf_dir_to_sf(SF_DIR))
+    pages = _read_table_dir(corpus + "/pages")
+    kb = _read_table_dir(corpus + "/kb")
+    gaz = _read_table_dir(corpus + "/gazetteer")
+    t0 = time.time()
+    out = _oracle(pages, kb, gaz)
+    dt = time.time() - t0
+    n = out["triples"].num_rows
+    return {
+        "metric": "oracle_single_process_sec",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "sf": sf_dir_to_sf(SF_DIR),
+        "num_cpus": 1,
+        "n_triples": n,
+        "triples_per_sec": round(n / dt, 1),
+    }
+
+
+def _subprocess_headline(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    r_lo = _subprocess_headline(lo)
+    r_hi = _subprocess_headline(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "tps_8": r_lo["triples_per_sec"],
+        "tps_32": r_hi["triples_per_sec"],
+        "queries": {"kg_triples_8cpu": t_lo, "kg_triples_32cpu": t_hi},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif "--oracle" in sys.argv:
+        result = run_oracle()
+    else:
+        result = run_bench()
+    print(json.dumps(result))

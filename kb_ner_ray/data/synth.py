@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from ..functions.text import normalize_surface
 
-SCHEMA_VERSION = 3  # bump to invalidate /tmp caches
+SCHEMA_VERSION = 4  # bump to invalidate /tmp caches
 
 FIRST = ["Alice", "Boris", "Carla", "Dmitri", "Elena", "Farid", "Grace", "Hiro",
          "Ines", "Jonas", "Kira", "Liam", "Mona", "Nadia", "Omar", "Priya",
@@ -376,12 +376,18 @@ def corpus_dir(sf: float, seed: int = 42, root: str = "/tmp/kbner_synth") -> str
     for name, table in tables.items():
         tdir = os.path.join(tmp, name)
         os.makedirs(tdir, exist_ok=True)
-        n_files = max(1, min(32, table.num_rows // 2000)) if name == "pages" else 1
         rows = table.num_rows
+        # pages: many small files + small row groups so read_parquet can
+        # split blocks finely (parallelism at every sf)
+        if name == "pages":
+            n_files = max(2, min(64, (rows + 99) // 100))
+        else:
+            n_files = 1
         step = (rows + n_files - 1) // n_files if rows else 1
         for fi in range(0, max(rows, 1), step):
             pq.write_table(table.slice(fi, step),
-                           os.path.join(tdir, f"part-{fi // step:05d}.parquet"))
+                           os.path.join(tdir, f"part-{fi // step:05d}.parquet"),
+                           row_group_size=64)
     import shutil
 
     if os.path.exists(d):

@@ -1,0 +1,181 @@
+"""Dedup / similarity / textstats / ensemble / multimodal operator tests
+with straight-line Python oracles on small inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from kb_ner_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingles,
+    simhash64,
+    simhash_near_dups,
+)
+from kb_ner_ray.stages.ensemble import ensemble_mentions
+from kb_ner_ray.stages.multimodal import (
+    ImageFeatures,
+    ImageResize,
+    _decode_image,
+    image_feature_pipeline,
+    make_fake_images,
+)
+from kb_ner_ray.stages.similarity import (
+    ivf_knn,
+    knn_bruteforce,
+    near_dup_pairs,
+)
+from kb_ner_ray.stages.textstats import detect_lang, fingerprint
+
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_exact_dedup():
+    ds = exact_dedup(_docs_ds(["aaa", "bbb", "aaa", "ccc", "aaa"]))
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == [0, 1, 3]
+    assert df.loc[0, "n_dups"] == 3
+
+
+def test_minhash_jaccard_estimate():
+    a = shingles("the quick brown fox jumps over the lazy dog " * 5)
+    b = shingles("the quick brown fox leaps over the lazy dog " * 5)
+    true_j = len(a & b) / len(a | b)
+    est = float(np.mean(minhash_signature(a) == minhash_signature(b)))
+    assert abs(est - true_j) < 0.25  # 64 hashes -> coarse but unbiased
+
+
+def test_minhash_lsh_finds_planted_dups():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [base, base + "lambda", "totally different words here entirely",
+             base]  # 0,1,3 near-dups
+    lookup = dict(enumerate(texts))
+    df = minhash_lsh_pairs(_docs_ds(texts), threshold=0.6,
+                           docs_lookup=lookup).to_pandas()
+    pairs = set(map(tuple, df[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 3) in pairs and (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_near_dups():
+    base = " ".join(f"w{i}" for i in range(80))
+    texts = [base, base + " extra", " ".join(f"x{i}" for i in range(80))]
+    assert simhash64(texts[0]) == simhash64(texts[0])  # deterministic
+    df = simhash_near_dups(_docs_ds(texts), max_dist=6).to_pandas()
+    pairs = set(map(tuple, df[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs and not any(2 in p for p in pairs)
+
+
+def _emb_ds(mat):
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_knn_bruteforce_matches_numpy_oracle():
+    rng = np.random.RandomState(3)
+    mat = rng.randn(50, 16)
+    qids = [0, 1]
+    ds = knn_bruteforce(_emb_ds(mat), (qids, mat[qids]), k=4)
+    df = ds.to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm[qids] @ norm.T
+    for qi, qid in enumerate(qids):
+        order = [i for i in np.argsort(-sims[qi]) if i not in qids][:4]
+        got = df[df.qid == qid].sort_values("rank")["nid"].tolist()
+        assert got == order
+
+
+def test_ivf_recall_vs_bruteforce():
+    rng = np.random.RandomState(5)
+    mat = rng.randn(200, 16)
+    qids = [0, 1, 2]
+    queries = (qids, mat[qids])
+    cents = mat[:8] / np.linalg.norm(mat[:8], axis=1, keepdims=True)
+    bf = knn_bruteforce(_emb_ds(mat), queries, k=5).to_pandas()
+    ivf = ivf_knn(_emb_ds(mat), queries, cents, k=5, nprobe=4).to_pandas()
+    recalls = []
+    for qid in qids:
+        want = set(bf[bf.qid == qid]["nid"])
+        got = set(ivf[ivf.qid == qid]["nid"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 buckets
+
+
+def test_near_dup_pairs_symmetric_once():
+    mat = np.array([[1.0, 0.0], [1.0, 0.01], [0.0, 1.0]])
+    ref = ray.put(([0, 1, 2], mat))
+    df = near_dup_pairs(_emb_ds(mat), ref, threshold=0.99).to_pandas()
+    assert set(map(tuple, df[["vec_a", "vec_b"]].itertuples(index=False))) == {(0, 1)}
+
+
+def test_fingerprint_normalizes_whitespace_and_case():
+    assert fingerprint("A  b\tc") == fingerprint("a b c")
+    assert fingerprint("a b c") != fingerprint("a b d")
+
+
+def test_detect_lang():
+    assert detect_lang("the cat is in the house and it is warm") == "en"
+    assert detect_lang("der hund ist nicht mit der katze") == "de"
+    assert detect_lang("你好世界") == "zh"
+    assert detect_lang("zzz qqq") == "und"
+
+
+def test_ensemble_majority_vote(tiny_corpus):
+    import pyarrow.compute as pc
+
+    sents = ray.data.from_arrow(
+        pa.table({
+            "url": tiny_corpus["sentences"].column("url"),
+            "sent_id": tiny_corpus["sentences"].column("sent_id"),
+            "text": tiny_corpus["sentences"].column("text"),
+        }).filter(pc.equal(tiny_corpus["sentences"].column("lang"), "en"))
+    ).limit(200)
+    gaz_ref = ray.put(tiny_corpus["gazetteer"].to_pylist())
+    out = ensemble_mentions(sents, gaz_ref, n_models=3).to_pandas()
+    # every kept span was voted by >= 2 of 3 variants
+    assert (out["votes"] >= 2).all()
+    # ensembled spans are a subset of the full-gazetteer spans and majority
+    # agreement recovers most of them
+    from kb_ner_ray.state.gazetteer import Gazetteer
+
+    gaz = Gazetteer(tiny_corpus["gazetteer"].to_pylist())
+    text_of = {}
+    for r in sents.to_pandas().itertuples():
+        text_of[(r.url, r.sent_id)] = r.text
+    full = set()
+    for (url, sid), text in text_of.items():
+        for s, e, lab, _ in gaz.mentions_via_codec(text.split()):
+            full.add((url, sid, s, e, lab))
+    got = set(map(tuple, out[["url", "sent_id", "start_tok", "end_tok",
+                              "label"]].itertuples(index=False)))
+    assert got <= full
+    assert len(got) >= 0.5 * len(full)
+
+
+def test_multimodal_decode_gated():
+    imgs = make_fake_images(4)
+    with pytest.raises(NotImplementedError):
+        _decode_image(imgs.column("content")[0].as_py(), allow_fake=False)
+    feats = ImageFeatures(allow_fake=True)(imgs)
+    assert feats.num_rows == 4
+    assert all(len(h) == 8 for h in feats.column("hist").to_pylist())
+
+
+def test_multimodal_pipeline_and_resize():
+    ds = ray.data.from_arrow(make_fake_images(16))
+    feats = image_feature_pipeline(ds, allow_fake=True).to_pandas()
+    assert len(feats) == 16 and {"media_id", "mean_px", "std_px",
+                                 "hist"} <= set(feats.columns)
+    thumbs = ImageResize(target=8, allow_fake=True)(make_fake_images(3))
+    assert thumbs.num_rows == 3
+    assert all(len(t) == 64 for t in thumbs.column("thumb").to_pylist())
