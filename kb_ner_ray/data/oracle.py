@@ -32,13 +32,17 @@ TOP_K = 10            # kb/generate_data.py:39,120
 
 
 def link_mention(surface_tokens: tuple, sent_tokens: list[str],
-                 gaz: Gazetteer, ent_def_tokens: dict[int, set]) -> int:
+                 gaz: Gazetteer, ent_def_tokens: dict[int, set],
+                 sent_set: set | None = None) -> int:
+    """``sent_set`` may carry the precomputed analyzed-sentence token set
+    (one per sentence, shared across its mentions); semantics identical."""
     cands = gaz.candidates.get(tuple(surface_tokens), [])
     if not cands:
         return -1
     if len(cands) == 1:
         return cands[0]
-    sent_set = set(analyze(" ".join(sent_tokens)))
+    if sent_set is None:
+        sent_set = set(analyze(" ".join(sent_tokens)))
     best = None
     for ent in sorted(cands):
         defs = ent_def_tokens.get(ent, set())
@@ -49,9 +53,18 @@ def link_mention(surface_tokens: tuple, sent_tokens: list[str],
     return best[1]
 
 
-def attach_contexts(sentence: str, hits: list[tuple[str, float]],
-                    budget: int = CONTEXT_BUDGET) -> tuple[str, int]:
-    """Greedy budgeted context stitch (kb/context_process.py:401-479).
+def clean_context(ctx: str) -> str:
+    """Printable filter (reference M10, kb/context_process.py:410)."""
+    return "".join(c for c in ctx if c.isprintable())
+
+
+def attach_contexts_cached(sentence: str,
+                           hits_pre: list[tuple[str, int]],
+                           budget: int = CONTEXT_BUDGET) -> tuple[str, int]:
+    """Greedy budgeted context stitch (kb/context_process.py:401-479) over
+    PRE-CLEANED contexts with precomputed subtoken costs — the KB side is
+    fixed per actor, so ``clean_context``/``subtoken_count`` are hoisted to
+    actor ``__init__`` (hits_pre = [(clean_ctx, cost), ...] in rank order).
 
     Walk hits in rank order; stop early when remaining budget < 10; skip a
     context whose subtoken cost would overflow; append the rest after an
@@ -59,11 +72,9 @@ def attach_contexts(sentence: str, hits: list[tuple[str, float]],
     """
     count = subtoken_count(sentence)
     used: list[str] = []
-    for ctx, _score in hits:
+    for ctx, cost in hits_pre:
         if budget - count < 10:
             break
-        ctx = "".join(c for c in ctx if c.isprintable())
-        cost = subtoken_count(ctx)
         if cost + count + 1 > budget:
             continue
         count += cost
@@ -71,6 +82,17 @@ def attach_contexts(sentence: str, hits: list[tuple[str, float]],
     if used:
         return sentence + " <EOS> " + " ".join(used), len(used)
     return sentence, 0
+
+
+def attach_contexts(sentence: str, hits: list[tuple[str, float]],
+                    budget: int = CONTEXT_BUDGET) -> tuple[str, int]:
+    """Uncached wrapper (the oracle path): clean + count inline, then the
+    same greedy loop as ``attach_contexts_cached``."""
+    pre = []
+    for ctx, _score in hits:
+        ctx = clean_context(ctx)
+        pre.append((ctx, subtoken_count(ctx)))
+    return attach_contexts_cached(sentence, pre, budget)
 
 
 def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,

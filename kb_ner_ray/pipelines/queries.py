@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Sum
 
 # ---------- helpers ----------------------------------------------------------
 
@@ -34,39 +34,53 @@ def _read(sf_dir: str, table: str, columns=None, **kw):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
+def _tree_agg(ds, keys: list[str], partial_fn, final_spec: dict):
+    """Combiner-pattern grouped aggregate for BOUNDED group cardinality.
+
+    ``partial_fn``: pyarrow batch -> per-batch partial aggregate table
+    (one row per group per batch).  The partial stream is at most
+    (n_blocks x n_groups) rows, so the final combine is a driver-side pandas
+    groupby over a tiny frame — no all-to-all shuffle ever touches the full
+    data.  ``final_spec``: {partial_col: "sum"}.  Valid ONLY when the group
+    key space is bounded (return flags, priorities, hours, event types);
+    unbounded keys (e.g. order ids) go through the Ray groupby path instead
+    (see q_top_orders)."""
+    pdf = ds.map_batches(partial_fn, batch_format="pyarrow").to_pandas()
+    return pdf.groupby(keys, as_index=False).agg(final_spec)
+
+
 # ---------- relational core ---------------------------------------------------
 
 
 def q_pricing_summary(sf_dir: str):
-    """TPC-H Q1-shaped grouped aggregate with a computed column and partial
-    aggregation handled by Ray's hash aggregate."""
+    """TPC-H Q1-shaped grouped aggregate: per-batch pyarrow group_by partials
+    (the combiner), tiny driver-side final — the groups are the 3x2 flag/
+    status space, so no shuffle of the 600k-row stream is ever needed."""
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount"])
 
-    def add_revenue(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+        t = t.append_column("revenue", rev)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("revenue", "sum"), ("l_discount", "sum"),
+             ("l_discount", "count")])
 
-    agg = (
-        ds.map_batches(add_revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base"),
-            Sum("revenue", alias_name="sum_disc_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n_rows"),
-        )
-    )
-    df = agg.to_pandas()
-    df["sum_qty"] = _cents(df["sum_qty"])
-    df["sum_base"] = _cents(df["sum_base"])
-    df["sum_disc_price"] = _cents(df["sum_disc_price"])
-    df["avg_disc"] = _cents(df["avg_disc"], 10000)
-    df["n_rows"] = df["n_rows"].astype(np.int64)
-    return df
+    df = _tree_agg(ds, ["l_returnflag", "l_linestatus"], partial,
+                   {"l_quantity_sum": "sum", "l_extendedprice_sum": "sum",
+                    "revenue_sum": "sum", "l_discount_sum": "sum",
+                    "l_discount_count": "sum"})
+    out = df[["l_returnflag", "l_linestatus"]].copy()
+    out["sum_qty"] = _cents(df["l_quantity_sum"])
+    out["sum_base"] = _cents(df["l_extendedprice_sum"])
+    out["sum_disc_price"] = _cents(df["revenue_sum"])
+    out["avg_disc"] = _cents(df["l_discount_sum"] / df["l_discount_count"],
+                             10000)
+    out["n_rows"] = df["l_discount_count"].astype(np.int64)
+    return out
 
 
 SQL_PRICING = """
@@ -136,17 +150,21 @@ def q_customer_rollup(sf_dir: str):
                 "c_acctbal": t["c_acctbal"],
             })
 
-    agg = (
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["r_name", "n_name"]).aggregate(
+            [("c_acctbal", "sum"), ("c_acctbal", "count")])
+
+    pdf = (
         _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
         .map_batches(AttachDims, batch_format="pyarrow", concurrency=(1, 2))
-        .groupby(["r_name", "n_name"])
-        .aggregate(Count(alias_name="n_customers"),
-                   Sum("c_acctbal", alias_name="sum_acctbal"))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # nation-cardinality partials
     )
-    df = agg.to_pandas()
-    df["sum_acctbal"] = _cents(df["sum_acctbal"])
-    df["n_customers"] = df["n_customers"].astype(np.int64)
-    return df
+    df = pdf.groupby(["r_name", "n_name"], as_index=False).agg(
+        {"c_acctbal_sum": "sum", "c_acctbal_count": "sum"})
+    df["sum_acctbal"] = _cents(df["c_acctbal_sum"])
+    df["n_customers"] = df["c_acctbal_count"].astype(np.int64)
+    return df[["r_name", "n_name", "n_customers", "sum_acctbal"]]
 
 
 SQL_CUSTOMER_ROLLUP = """
@@ -178,21 +196,23 @@ def q_orders_lineitem_join(sf_dir: str):
             prio = [self.omap[k] for k in t["l_orderkey"].to_pylist()]
             rev = pc.multiply(t["l_extendedprice"],
                               pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            # combiner: partial per-priority sums inside the join batch
             return pa.table({"o_orderpriority": pa.array(prio, pa.string()),
-                             "revenue": rev})
+                             "revenue": rev}).group_by(
+                "o_orderpriority").aggregate(
+                [("revenue", "sum"), ("revenue", "count")])
 
-    agg = (
+    pdf = (
         _read(sf_dir, "lineitem",
               columns=["l_orderkey", "l_extendedprice", "l_discount"])
         .map_batches(JoinPrio, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"),
-                   Sum("revenue", alias_name="revenue"))
+        .to_pandas()  # 5-priority partials
     )
-    df = agg.to_pandas()
-    df["revenue"] = _cents(df["revenue"])
-    df["n_items"] = df["n_items"].astype(np.int64)
-    return df
+    df = pdf.groupby("o_orderpriority", as_index=False).agg(
+        {"revenue_sum": "sum", "revenue_count": "sum"})
+    df["revenue"] = _cents(df["revenue_sum"])
+    df["n_items"] = df["revenue_count"].astype(np.int64)
+    return df[["o_orderpriority", "n_items", "revenue"]]
 
 
 SQL_ORDERS_LINEITEM = """
@@ -232,19 +252,18 @@ ORDER BY p_retailprice DESC, p_partkey LIMIT 20
 def q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def add_hour(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
         return pa.table({"event_type": t["event_type"], "hour": hour,
-                         "value": t["value"]})
+                         "value": t["value"]}).group_by(
+            ["event_type", "hour"]).aggregate(
+            [("value", "sum"), ("value", "count")])
 
-    agg = (ds.map_batches(add_hour, batch_format="pyarrow")
-           .groupby(["event_type", "hour"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value")))
-    df = agg.to_pandas()
-    df["sum_value"] = _cents(df["sum_value"])
-    df["n_events"] = df["n_events"].astype(np.int64)
-    return df
+    df = _tree_agg(ds, ["event_type", "hour"], partial,
+                   {"value_sum": "sum", "value_count": "sum"})
+    df["sum_value"] = _cents(df["value_sum"])
+    df["n_events"] = df["value_count"].astype(np.int64)
+    return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
 SQL_EVENTS_HOURLY = """
@@ -303,10 +322,16 @@ def q_distinct_users(sf_dir: str):
     def batch_distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["event_type", "user_id"]).aggregate([])
 
-    pairs = (ds.map_batches(batch_distinct, batch_format="pyarrow")
-             .groupby(["event_type", "user_id"]).count())
-    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
-    df = agg.to_pandas()[["event_type", "n_users"]]
+    # per-batch distinct pairs (the combiner) bound the stream to
+    # n_blocks x |types x users|; final distinct+count on the driver.  At
+    # user cardinalities where that no longer fits, the same partial stream
+    # feeds groupby(event_type, user_id) — or an HLL sketch if approximate
+    # counts suffice.
+    pdf = (ds.map_batches(batch_distinct, batch_format="pyarrow")
+           .to_pandas())
+    df = (pdf.drop_duplicates(["event_type", "user_id"])
+          .groupby("event_type", as_index=False)
+          .agg(n_users=("user_id", "size")))
     df["n_users"] = df["n_users"].astype(np.int64)
     return df
 
@@ -368,16 +393,15 @@ def q_props_json(sf_dir: str):
     """JSON field extraction + grouped sum (per-batch parse, partial sums)."""
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
-    def parse(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         ks = [int(json.loads(p)["k"]) for p in t["props"].to_pylist()]
         return pa.table({"event_type": t["event_type"],
-                         "k": pa.array(ks, pa.int64())})
+                         "k": pa.array(ks, pa.int64())}).group_by(
+            "event_type").aggregate([("k", "sum")])
 
-    agg = (ds.map_batches(parse, batch_format="pyarrow")
-           .groupby("event_type").aggregate(Sum("k", alias_name="sum_k")))
-    df = agg.to_pandas()
-    df["sum_k"] = df["sum_k"].astype(np.int64)
-    return df
+    df = _tree_agg(ds, ["event_type"], partial, {"k_sum": "sum"})
+    df["sum_k"] = df["k_sum"].astype(np.int64)
+    return df[["event_type", "sum_k"]]
 
 
 SQL_PROPS_JSON = """

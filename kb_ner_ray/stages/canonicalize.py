@@ -44,42 +44,70 @@ def partial_link_counts(batch: pa.Table) -> pa.Table:
 
 
 def compute_canonical_map(raw_triples, ent_title: dict[int, str]) -> dict[str, str]:
-    """Phases 1+2: Dataset of raw triples -> surface->canonical dict."""
-    from ray.data.aggregate import Sum
+    """Phases 1+2: Dataset of raw triples -> surface->canonical dict.
 
+    The final combine runs on the driver: after the per-batch combiner the
+    stream is at most (n_blocks x vocabulary) distinct rows — bounded by the
+    entity vocabulary, NOT the corpus — so collecting partials and summing
+    in pandas replaces a full Ray sort-shuffle whose fixed cost dwarfs the
+    few thousand rows it would move."""
     partials = raw_triples.map_batches(partial_link_counts,
                                        batch_format="pyarrow")
-    agg = partials.groupby(["surface", "ent_id"]).aggregate(
-        Sum("cnt", alias_name="n"))
-    pdf = agg.to_pandas()  # vocabulary-sized, safe on the driver
+    pdf = partials.to_pandas()  # vocabulary-sized partials
+    agg = pdf.groupby(["surface", "ent_id"], as_index=False)["cnt"].sum()
     link_counts = {
-        (r.surface, int(r.ent_id)): int(r.n) for r in pdf.itertuples()
+        (r.surface, int(r.ent_id)): int(r.cnt) for r in agg.itertuples()
     }
     return build_canonical_map(link_counts, ent_title)
 
 
+_CANON_CACHE: dict = {}  # worker-local: ObjectRef -> resolved dict
+
+
+def _resolve_canon(canon_ref):
+    if isinstance(canon_ref, ray.ObjectRef):
+        hit = _CANON_CACHE.get(canon_ref)
+        if hit is None:
+            hit = ray.get(canon_ref)
+            _CANON_CACHE.clear()  # at most one live canonical map per worker
+            _CANON_CACHE[canon_ref] = hit
+        return hit
+    return canon_ref
+
+
+def apply_canonical(batch: pa.Table, canon_ref=None) -> pa.Table:
+    """Raw triples -> final (subj, pred, obj, url, sent_id, score).
+
+    A plain task fn (not an actor pool): the broadcast canonical map is
+    fetched from the local object store once per worker process and cached,
+    so there is no per-execution actor-pool spin-up cost."""
+    canon = _resolve_canon(canon_ref)
+
+    def name(surface: str) -> str:
+        norm = normalize_surface(surface)
+        return canon.get(norm, norm)
+
+    subj = [name(s) for s in batch.column("subj_surface").to_pylist()]
+    obj = [name(s) for s in batch.column("obj_surface").to_pylist()]
+    n = batch.num_rows
+    return pa.table(
+        {
+            "subj": pa.array(subj, pa.string()),
+            "pred": batch.column("pred"),
+            "obj": pa.array(obj, pa.string()),
+            "url": batch.column("url"),
+            "sent_id": batch.column("sent_id"),
+            "score": pa.array([1.0] * n, pa.float32()),
+        }
+    )
+
+
 class ApplyCanonical:
-    """Raw triples -> final (subj, pred, obj, url, sent_id, score)."""
+    """Actor-pool wrapper kept for API parity; prefer ``apply_canonical``."""
 
     def __init__(self, canon_ref):
         self.canon = ray.get(canon_ref) if isinstance(canon_ref, ray.ObjectRef) \
             else canon_ref
 
-    def _name(self, surface: str) -> str:
-        norm = normalize_surface(surface)
-        return self.canon.get(norm, norm)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = [self._name(s) for s in batch.column("subj_surface").to_pylist()]
-        obj = [self._name(s) for s in batch.column("obj_surface").to_pylist()]
-        n = batch.num_rows
-        return pa.table(
-            {
-                "subj": pa.array(subj, pa.string()),
-                "pred": batch.column("pred"),
-                "obj": pa.array(obj, pa.string()),
-                "url": batch.column("url"),
-                "sent_id": batch.column("sent_id"),
-                "score": pa.array([1.0] * n, pa.float32()),
-            }
-        )
+        return apply_canonical(batch, canon_ref=self.canon)

@@ -137,12 +137,17 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.8, docs_lookup=None):
     """
     import ray
 
+    # ONE shuffle (the LSH bucket groupby).  Candidate pairs are collision-
+    # sized, so cross-band dedup happens in a single coalesced block instead
+    # of a second all-to-all; at scale this repartition(1) becomes
+    # repartition(K) on hash(doc_a) with per-block dedup.
     cands = (
         docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(candidate_pairs_from_band, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .repartition(1)
+        .map_batches(lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+                     batch_format="pandas", batch_size=None)
     )
     lookup_ref = ray.put(docs_lookup)
 
@@ -231,6 +236,7 @@ def simhash_near_dups(docs_ds, max_dist: int = 3):
         .groupby(["band_id", "band_val"])
         .map_groups(lambda g: simhash_pairs_from_band(g, max_dist),
                     batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .repartition(1)  # pair stream is collision-sized; see minhash note
+        .map_batches(lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+                     batch_format="pandas", batch_size=None)
     )

@@ -18,7 +18,8 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from ..data.oracle import TOP_K, attach_contexts
+from ..data.oracle import TOP_K, attach_contexts_cached, clean_context
+from ..functions.tokenizer import subtoken_count
 from ..state.bm25 import KBIndex
 
 
@@ -27,6 +28,10 @@ class _KBActorBase:
         kb_rows = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
         self.kb_rows = kb_rows
         self.index = KBIndex(kb_rows)
+        # KB side is fixed for the actor's lifetime: hoist the printable
+        # filter + subtoken costs out of the per-sentence attach loop
+        self.kb_clean = [clean_context(r["sentence"]) for r in kb_rows]
+        self.kb_cost = [subtoken_count(c) for c in self.kb_clean]
 
 
 class Retriever(_KBActorBase):
@@ -74,8 +79,8 @@ class RetrieveAttach(_KBActorBase):
         augs, n_ctxs = [], []
         for text in batch.column("text").to_pylist():
             hits = self.index.search(text, k=TOP_K)
-            aug, n = attach_contexts(
-                text, [(self.kb_rows[i]["sentence"], s) for i, s in hits]
+            aug, n = attach_contexts_cached(
+                text, [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits]
             )
             augs.append(aug)
             n_ctxs.append(n)

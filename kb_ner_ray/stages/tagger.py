@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from ..data.oracle import link_mention
+from ..data.oracle import TOP_K, attach_contexts_cached, link_mention
 from ..state.bm25 import analyze
 from ..state.gazetteer import Gazetteer
 
@@ -59,10 +59,14 @@ class TagLink(_GazActorBase):
         )):
             aug = batch.column("aug_text")[i].as_py() if has_aug else None
             tokens, spans = self._sentence_mentions(text, aug)
+            sent_set = None
             for start, end, label, score in spans:
                 surf = tokens[start:end]
+                if sent_set is None and len(
+                        self.gaz.candidates.get(tuple(surf), ())) > 1:
+                    sent_set = set(analyze(" ".join(tokens)))
                 ent = link_mention(tuple(surf), tokens, self.gaz,
-                                   self.ent_def_tokens)
+                                   self.ent_def_tokens, sent_set=sent_set)
                 urls.append(url)
                 sids.append(sid)
                 starts.append(start)
@@ -105,10 +109,14 @@ class TagLinkTriples(_GazActorBase):
             aug = batch.column("aug_text")[i].as_py() if has_aug else None
             tokens, spans = self._sentence_mentions(text, aug)
             linked = []
+            sent_set = None
             for start, end, label, score in spans:
                 surf = tokens[start:end]
+                if sent_set is None and len(
+                        self.gaz.candidates.get(tuple(surf), ())) > 1:
+                    sent_set = set(analyze(" ".join(tokens)))
                 ent = link_mention(tuple(surf), tokens, self.gaz,
-                                   self.ent_def_tokens)
+                                   self.ent_def_tokens, sent_set=sent_set)
                 linked.append((start, end, " ".join(surf), ent))
             linked.sort()
             for (s1, e1, surf1, ent1), (s2, e2, surf2, ent2) in zip(
@@ -117,6 +125,93 @@ class TagLinkTriples(_GazActorBase):
                 s_surf.append(surf1)
                 s_ent.append(ent1)
                 preds.append("_".join(mid) or "related_to")
+                o_surf.append(surf2)
+                o_ent.append(ent2)
+                urls.append(url)
+                sids.append(sid)
+        return pa.table(
+            {
+                "subj_surface": pa.array(s_surf, pa.string()),
+                "subj_ent": pa.array(s_ent, pa.int64()),
+                "pred": pa.array(preds, pa.string()),
+                "obj_surface": pa.array(o_surf, pa.string()),
+                "obj_ent": pa.array(o_ent, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "sent_id": pa.array(sids, pa.int32()),
+            }
+        )
+
+
+class RetrieveTagTriples(_GazActorBase):
+    """FUSED retrieve + context-attach + tag + link + triple-emit actor.
+
+    Same semantics as RetrieveAttach |> TagLinkTriples, but the augmented
+    text never crosses a stage boundary — at 100 TB the aug_text column is
+    ~8x the sentence column, so keeping it actor-local removes the largest
+    intermediate from the object store entirely.  The unfused stages remain
+    for the inspectable contexts/mentions outputs (queries kg_contexts /
+    kg_mentions).
+    """
+
+    MEMO_CAP = 200_000  # distinct sentences kept per actor (~100 MB worst case)
+
+    def __init__(self, gaz_ref, kb_ref):
+        super().__init__(gaz_ref, kb_ref=kb_ref)
+        from ..data.oracle import clean_context
+        from ..functions.tokenizer import subtoken_count
+        from ..state.bm25 import KBIndex
+
+        kb_rows = _get(kb_ref)
+        self.index = KBIndex(kb_rows)
+        self.kb_clean = [clean_context(r["sentence"]) for r in kb_rows]
+        self.kb_cost = [subtoken_count(c) for c in self.kb_clean]
+        # web corpora are heavily sentence-duplicated (boilerplate, quoted
+        # text): the whole per-sentence result is a pure function of the
+        # sentence, so memoize it per actor with a hard cap
+        self._memo: dict[str, list] = {}
+
+    def _sentence_triples(self, text: str) -> list:
+        """(subj_surface, subj_ent, pred, obj_surface, obj_ent) tuples."""
+        hits = self.index.search(text, k=TOP_K)
+        aug, _n = attach_contexts_cached(
+            text, [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits])
+        tokens, spans = self._sentence_mentions(text, aug)
+        linked = []
+        sent_set = None
+        for start, end, label, score in spans:
+            surf = tokens[start:end]
+            if sent_set is None and len(
+                    self.gaz.candidates.get(tuple(surf), ())) > 1:
+                sent_set = set(analyze(" ".join(tokens)))
+            ent = link_mention(tuple(surf), tokens, self.gaz,
+                               self.ent_def_tokens, sent_set=sent_set)
+            linked.append((start, end, " ".join(surf), ent))
+        linked.sort()
+        out = []
+        for (s1, e1, surf1, ent1), (s2, e2, surf2, ent2) in zip(
+                linked, linked[1:]):
+            mid = [w for w in tokens[e1:s2] if w.isalpha()]
+            out.append((surf1, ent1, "_".join(mid) or "related_to",
+                        surf2, ent2))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s_surf, s_ent, preds, o_surf, o_ent, urls, sids = ([], [], [], [], [], [], [])
+        for url, sid, text in zip(
+            batch.column("url").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            res = self._memo.get(text)
+            if res is None:
+                res = self._sentence_triples(text)
+                if len(self._memo) >= self.MEMO_CAP:
+                    self._memo.clear()
+                self._memo[text] = res
+            for surf1, ent1, pred, surf2, ent2 in res:
+                s_surf.append(surf1)
+                s_ent.append(ent1)
+                preds.append(pred)
                 o_surf.append(surf2)
                 o_ent.append(ent2)
                 urls.append(url)
