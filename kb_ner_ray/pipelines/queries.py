@@ -602,6 +602,225 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+# ---------- joins / windows / set-ops -----------------------------------------
+
+
+def _custkeys_with_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return set(t.column("o_custkey").to_pylist())
+
+
+def q_customers_with_orders(sf_dir: str):
+    """SEMI join customer ⋉ orders via broadcast key set (no shuffle; the
+    key set is the small side, as the reference's J1 keyword dict)."""
+    keys = ray.put(_custkeys_with_orders(sf_dir))
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(keys)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    return (_read(sf_dir, "customer",
+                  columns=["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(Semi, batch_format="pyarrow", concurrency=(1, 4)))
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_customers_no_urgent_orders(sf_dir: str):
+    """ANTI join (the reference's failed-keyword collection seat, J1):
+    broadcast key set of urgent-order custkeys, inverted mask."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_orderpriority"])
+    t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+    keys = ray.put(set(t.column("o_custkey").to_pylist()))
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(keys)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    return (_read(sf_dir, "customer",
+                  columns=["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(Anti, batch_format="pyarrow", concurrency=(1, 4)))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+"""
+
+TOPN_PER_GROUP = 3
+
+
+def q_events_topn_per_type(sf_dir: str):
+    """Windowed top-N per bounded group (row_number <= 3): per-batch partial
+    top-N per type, driver-final merge — exact because top-N of a union is
+    top-N of per-block top-Ns; no shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["value", "event_id"],
+                            ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby("event_type", sort=False).head(TOPN_PER_GROUP),
+            preserve_index=False)
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    pdf = pdf.sort_values(["event_type", "value", "event_id"],
+                          ascending=[True, False, True])
+    out = pdf.groupby("event_type", sort=False).head(TOPN_PER_GROUP).copy()
+    out["rank"] = out.groupby("event_type").cumcount() + 1
+    out["value_bp"] = _cents(out["value"], 10000)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["event_type", "rank", "event_id", "value_bp"]].reset_index(
+        drop=True)
+
+
+SQL_TOPN_PER_GROUP = f"""
+SELECT event_type, rank, event_id,
+       CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS value_bp
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+WHERE rank <= {TOPN_PER_GROUP}
+"""
+
+
+def q_nation_acctbal_minmax(sf_dir: str):
+    """Grouped min/max/count via per-batch pyarrow partials (combiner) +
+    driver-final — min/max compose associatively."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("c_nationkey").aggregate(
+            [("c_acctbal", "min"), ("c_acctbal", "max"),
+             ("c_acctbal", "count")])
+
+    df = _tree_agg(ds, ["c_nationkey"], partial,
+                   {"c_acctbal_min": "min", "c_acctbal_max": "max",
+                    "c_acctbal_count": "sum"})
+    out = df[["c_nationkey"]].copy()
+    out["min_bal"] = _cents(df["c_acctbal_min"])
+    out["max_bal"] = _cents(df["c_acctbal_max"])
+    out["n_customers"] = df["c_acctbal_count"].astype(np.int64)
+    return out
+
+
+SQL_MINMAX = """
+SELECT c_nationkey,
+       CAST(FLOOR(min(c_acctbal) * 100 + 0.5) AS BIGINT) AS min_bal,
+       CAST(FLOOR(max(c_acctbal) * 100 + 0.5) AS BIGINT) AS max_bal,
+       count(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_union_sample(sf_dir: str):
+    """UNION ALL of two filtered streams + deterministic modulo sample
+    (the seeded-sampling seat O5 made reproducible: hash/modulo instead of
+    RNG so the oracle can reproduce it)."""
+    def part(prio: str):
+        return _read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderpriority"]).filter(
+            expr=f"o_orderpriority == '{prio}'")
+
+    ds = part("1-URGENT").union(part("2-HIGH"))
+
+    def sample(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t["o_orderkey"], 7), 0)
+        return t.filter(keep)
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_UNION_SAMPLE = """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 8 = 0
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 8 = 0
+"""
+
+
+def q_corpus_stats(sf_dir: str):
+    """Token-length histogram over documents (reference A3 corpus-stats
+    seat, flair/data.py obtain_statistics) — combiner + driver-final."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = [len(x.split()) for x in t["text"].to_pylist()]
+        n_chars = [len(x) for x in t["text"].to_pylist()]
+        return pa.table({
+            "bucket": pa.array([n // 10 for n in n_tok], pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }).group_by("bucket").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+
+    df = _tree_agg(ds, ["bucket"], partial,
+                   {"n_chars_sum": "sum", "n_chars_count": "sum"})
+    out = df[["bucket"]].copy()
+    out["n_docs"] = df["n_chars_count"].astype(np.int64)
+    out["sum_chars"] = df["n_chars_sum"].astype(np.int64)
+    return out
+
+
+SQL_CORPUS_STATS = """
+SELECT len(regexp_split_to_array(trim(text), '\\s+')) // 10 AS bucket,
+       count(*) AS n_docs,
+       sum(length(text)) AS sum_chars
+FROM documents GROUP BY bucket
+"""
+
+JACCARD_THRESHOLD = 0.82
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Length-blocked pairwise character-set Jaccard (DuckDB jaccard()
+    semantics — the one dedup flavour with an EXACT SQL oracle)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jac_bp": pd.Series([], dtype=np.int64)})
+    df["jac_bp"] = _cents(df["jaccard"], 10000)
+    return df[["doc_a", "doc_b", "jac_bp"]].astype(np.int64)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(FLOOR(jaccard(a.text, b.text) * 10000 + 0.5) AS BIGINT) AS jac_bp
+FROM d a JOIN d b ON a.n_tokens = b.n_tokens AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= {JACCARD_THRESHOLD}
+"""
+
+
 # ---------- KG pipeline entries ----------------------------------------------
 
 
@@ -670,6 +889,42 @@ def q_kg_triples(sf_dir: str):
     return kg_triples(_corpus(sf_dir))
 
 
+def q_kg_ensemble(sf_dir: str):
+    """Majority-vote span ensemble (A1): 3 gazetteer-variant taggers ->
+    union -> groupby(sentence).map_groups greedy vote assignment."""
+    from ..pipelines.kg import load_corpus_refs, sentences_dataset
+    from ..stages.ensemble import ensemble_mentions
+
+    corpus = _corpus(sf_dir)
+    _kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
+    return ensemble_mentions(
+        sentences_dataset(corpus, with_retrieval=False), gaz_ref, n_models=3)
+
+
+def q_kg_distant_supervision(sf_dir: str):
+    """M18 seat: project detected surfaces onto retrieved KB contexts."""
+    from ..pipelines.kg import load_corpus_refs, sentences_dataset
+    from ..stages.distant import DistantSupervision
+
+    corpus = _corpus(sf_dir)
+    kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
+    return sentences_dataset(corpus, with_retrieval=False).map_batches(
+        DistantSupervision,
+        fn_constructor_kwargs={"kb_ref": kb_ref, "gaz_ref": gaz_ref},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+
+def q_multimodal_image_features(sf_dir: str):
+    """Multimodal plumbing: binary image column -> decode(stubbed fake) ->
+    features, sized for large binary payloads (batch_size=64)."""
+    from ..data.synth import sf_dir_to_sf
+    from ..stages.multimodal import image_feature_pipeline, make_fake_images
+
+    n = max(64, int(2560 * sf_dir_to_sf(sf_dir)))
+    return image_feature_pipeline(
+        rd.from_arrow(make_fake_images(n)), allow_fake=True)
+
+
 def queries_registry():
     return {
         "pricing_summary": q_pricing_summary,
@@ -692,11 +947,21 @@ def queries_registry():
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_knn": q_ivf_knn,
         "embed_near_dup": q_embed_near_dup,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        "events_topn_per_type": q_events_topn_per_type,
+        "nation_acctbal_minmax": q_nation_acctbal_minmax,
+        "union_sample": q_union_sample,
+        "corpus_stats": q_corpus_stats,
+        "ngram_jaccard": q_ngram_jaccard,
         "kg_extract_docs": q_kg_extract_docs,
         "kg_sentences": q_kg_sentences,
         "kg_contexts": q_kg_contexts,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
+        "kg_ensemble": q_kg_ensemble,
+        "kg_distant_supervision": q_kg_distant_supervision,
+        "multimodal_image_features": q_multimodal_image_features,
     }
 
 
@@ -718,8 +983,16 @@ def oracle_registry():
         "dedup_exact": SQL_DEDUP_EXACT,
         "knn_bruteforce": SQL_KNN,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
+        "customers_with_orders": SQL_SEMI_JOIN,
+        "customers_no_urgent_orders": SQL_ANTI_JOIN,
+        "events_topn_per_type": SQL_TOPN_PER_GROUP,
+        "nation_acctbal_minmax": SQL_MINMAX,
+        "union_sample": SQL_UNION_SAMPLE,
+        "corpus_stats": SQL_CORPUS_STATS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "kg_extract_docs": SQL_KG_EXTRACT,
         # doc_langid, minhash_dedup, simhash_dedup, ivf_knn and the kg_*
-        # pipeline entries are not SQL-expressible -> rows-only checks;
-        # their semantics are pinned by pytest oracles instead.
+        # pipeline entries (incl. ensemble / distant supervision /
+        # multimodal) are not SQL-expressible -> rows-only checks; their
+        # semantics are pinned by pytest oracles instead.
     }

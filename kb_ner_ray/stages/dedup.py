@@ -240,3 +240,51 @@ def simhash_near_dups(docs_ds, max_dist: int = 3):
         .map_batches(lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
                      batch_format="pandas", batch_size=None)
     )
+
+
+# ---- blocked character-set Jaccard (exact-oracle flavour) -------------------
+
+
+def charset_jaccard(a: str, b: str) -> float:
+    """Character-set Jaccard — pinned to DuckDB's ``jaccard()`` semantics
+    (set-of-chars, so an exact SQL oracle can verify the distributed run)."""
+    sa, sb = set(a), set(b)
+    denom = len(sa | sb)
+    return len(sa & sb) / denom if denom else 1.0
+
+
+def _token_count_block(batch: pa.Table) -> pa.Table:
+    n = [len(t.split()) for t in batch.column("text").to_pylist()]
+    return batch.append_column("n_tokens", pa.array(n, pa.int64()))
+
+
+def _jaccard_pairs_in_block(group: pd.DataFrame,
+                            threshold: float) -> pd.DataFrame:
+    g = group.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    texts = g["text"].tolist()
+    sets = [set(t) for t in texts]
+    a, b, j = [], [], []
+    for i in range(len(ids)):
+        for k in range(i + 1, len(ids)):
+            denom = len(sets[i] | sets[k])
+            jac = len(sets[i] & sets[k]) / denom if denom else 1.0
+            if jac >= threshold:
+                a.append(ids[i])
+                b.append(ids[k])
+                j.append(jac)
+    return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": j})
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.75):
+    """Blocked pairwise Jaccard: candidate pairs share an exact token count
+    (length blocking — standard dedup blocking); ONE shuffle on the
+    fixed-width block key, pairwise verify inside each block.  Skewed blocks
+    are bounded by the quadratic cap being per-block, not global; at 100 TB
+    the block key becomes (n_tokens, hash-salt) to split giant blocks."""
+    return (
+        docs_ds.map_batches(_token_count_block, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .map_groups(lambda g: _jaccard_pairs_in_block(g, threshold),
+                    batch_format="pandas")
+    )

@@ -1,0 +1,75 @@
+"""Pins for the second operator batch: charset Jaccard dedup, distant
+supervision, semi/anti broadcast joins, window top-N."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from kb_ner_ray.stages.dedup import charset_jaccard, ngram_jaccard_pairs
+from kb_ner_ray.stages.distant import DistantSupervision
+
+
+def test_charset_jaccard_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    # (duckdb's jaccard() raises on empty strings; our kernel returns 1.0
+    # for two empties — only non-empty inputs are oracle-checked)
+    cases = [("hello world", "hello word"), ("abc", "cba"),
+             ("aab", "ab"), ("xyz", "abc")]
+    for a, b in cases:
+        want = con.sql("SELECT jaccard(?, ?)", params=[a, b]).fetchone()[0]
+        assert abs(charset_jaccard(a, b) - want) < 1e-12, (a, b)
+
+
+def test_ngram_jaccard_pairs_blocked(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        # 1 and 2: same token count, same char set -> jaccard 1.0
+        # 3: same count, disjoint chars; 4: different token count
+        "text": ["abc def", "fed cba", "xyz qqq", "one two three"],
+    })
+    ds = ray.data.from_arrow(docs)
+    df = ngram_jaccard_pairs(ds, threshold=0.9).to_pandas()
+    pairs = set(zip(df["doc_a"], df["doc_b"]))
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_distant_supervision_projects_surfaces(tiny_corpus):
+    """Every emitted weak label must be an exact token-span match of a
+    detected sentence surface inside the named KB sentence (M18)."""
+    kb = tiny_corpus["kb"].to_pylist()
+    gaz = tiny_corpus["gazetteer"].to_pylist()
+    stage = DistantSupervision(kb_ref=kb, gaz_ref=gaz)
+    batch = pa.table({
+        "url": pa.array(["u1"], pa.string()),
+        "sent_id": pa.array([0], pa.int32()),
+        "text": [kb[0]["sentence"]],  # KB sentence retrieves itself
+    })
+    out = stage(batch)
+    assert out.num_rows > 0
+    kb_by_id = {r["kb_id"]: r for r in kb}
+    for row in out.to_pylist():
+        ctx_tokens = kb_by_id[row["kb_id"]]["sentence"].split()
+        span = " ".join(ctx_tokens[row["ctx_start"]:row["ctx_end"]])
+        assert span == row["surface"]
+
+
+def test_topn_partial_merge_is_exact():
+    """top-N of per-block top-Ns == global top-N (the q_events_topn basis)."""
+    rng = np.random.RandomState(0)
+    vals = rng.rand(1000)
+    ids = np.arange(1000)
+    order = np.lexsort((ids, -vals))
+    want = set(ids[order][:3])
+    blocks = np.array_split(np.arange(1000), 7)
+    cand_ids, cand_vals = [], []
+    for blk in blocks:
+        o = np.lexsort((ids[blk], -vals[blk]))[:3]
+        cand_ids.extend(ids[blk][o])
+        cand_vals.extend(vals[blk][o])
+    cand_ids, cand_vals = np.array(cand_ids), np.array(cand_vals)
+    o = np.lexsort((cand_ids, -cand_vals))[:3]
+    assert set(cand_ids[o]) == want
