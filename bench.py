@@ -71,7 +71,11 @@ def run_bench() -> dict:
     rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     reg = queries_registry()
-    _consume(reg["kg_triples"](SF_DIR))
+    # warm the worker pool + imports on the tiny corpus (NOT the measured
+    # one — the sentence memo must start cold for an honest first pass)
+    from kb_ner_ray.pipelines.kg import kg_triples as _kg
+
+    _consume(_kg(corpus_dir(0.001 if sf != 0.001 else 0.01)))
 
     timings: dict[str, float] = {}
 
@@ -125,35 +129,90 @@ def run_oracle() -> dict:
     }
 
 
-def _subprocess_headline(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                         env=env, capture_output=True, text=True, check=True)
+SCALING_SF = float(os.environ.get("GRAFT_SCALING_SF", "0.5"))
+
+
+def run_headline(ncpu: int, sf: float) -> dict:
+    """One warm headline measurement at a given parallelism + corpus scale
+    (the per-run unit of the scaling experiment)."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kb_ner_ray.data.synth import corpus_dir
+    from kb_ner_ray.pipelines.kg import kg_triples
+
+    corpus = corpus_dir(sf)
+    # warm-up on a DIFFERENT (tiny) corpus: spins the worker pool and
+    # imports without populating the sentence memo for the measured input,
+    # so the timed run is an honest first pass over fresh data
+    kg_triples(corpus_dir(0.01)).count()
+    t0 = time.time()
+    n = kg_triples(corpus).count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"metric": "kg_triples_pipeline_sec", "value": round(dt, 3),
+            "unit": "sec", "sf": sf, "num_cpus": ncpu, "n_triples": n,
+            "triples_per_sec": round(n / dt, 1)}
+
+
+def _subprocess_headline(ncpu: int, sf: float) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline",
+         str(ncpu), str(sf)],
+        env=dict(os.environ), capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def run_scaling() -> dict:
-    lo, hi = 8, 32
-    r_lo = _subprocess_headline(lo)
-    r_hi = _subprocess_headline(hi)
+    """Same job, same input, two fresh ray.init sessions at 8 and 32 CPUs
+    (the sandbox stand-in for N and 4N cluster nodes).  The scaling corpus
+    (sf=0.5 by default) is sized so per-run fixed costs (read planning,
+    canonical combine, scheduling) are small next to compute — the regime a
+    real multi-node job runs in."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kb_ner_ray.data.synth import corpus_dir
+
+    corpus_dir(SCALING_SF)  # generate/cache before timing subprocesses
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+
+    def best(ncpu: int) -> dict:
+        # min of 2 fresh-process runs — standard noise control; single-run
+        # wall swings +-15% on a shared box
+        runs = [_subprocess_headline(ncpu, SCALING_SF) for _ in range(2)]
+        return min(runs, key=lambda r: r["value"])
+
+    r_lo, r_hi = best(lo), best(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sf": r_hi["sf"],
+        "sf": SCALING_SF,
         "num_cpus": hi,
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "tps_8": r_lo["triples_per_sec"],
-        "tps_32": r_hi["triples_per_sec"],
-        "queries": {"kg_triples_8cpu": t_lo, "kg_triples_32cpu": t_hi},
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"tps_{lo}": r_lo["triples_per_sec"],
+        f"tps_{hi}": r_hi["triples_per_sec"],
+        "queries": {f"kg_triples_{lo}cpu": t_lo,
+                    f"kg_triples_{hi}cpu": t_hi},
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--headline" in sys.argv:
+        i = sys.argv.index("--headline")
+        result = run_headline(int(sys.argv[i + 1]), float(sys.argv[i + 2]))
+    elif "--scaling" in sys.argv:
         result = run_scaling()
     elif "--oracle" in sys.argv:
         result = run_oracle()

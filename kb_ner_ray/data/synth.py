@@ -32,7 +32,10 @@ import pyarrow.parquet as pq
 
 from ..functions.text import normalize_surface
 
-SCHEMA_VERSION = 4  # bump to invalidate /tmp caches
+SCHEMA_VERSION = 5  # bump to invalidate /tmp caches
+
+MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+          "August", "September", "October", "November", "December"]
 
 FIRST = ["Alice", "Boris", "Carla", "Dmitri", "Elena", "Farid", "Grace", "Hiro",
          "Ines", "Jonas", "Kira", "Liam", "Mona", "Nadia", "Omar", "Priya",
@@ -244,6 +247,22 @@ def generate_corpus(n_pages: int, seed: int = 42, n_entities_per_type: int = 40)
         is_giant = rng.random() < 0.01
         n_sent = rng.randint(110, 160) if is_giant else rng.randint(4, 12)
 
+        def vary(post: list[str]) -> list[str]:
+            """Date/figure qualifier spliced before the final period.
+
+            Real web text is mostly-unique body prose over repeated
+            boilerplate; ~60% of generated sentences get a high-cardinality
+            suffix so distinct-sentence count scales with the corpus
+            (boilerplate-level duplication remains from the rest).  The
+            suffix sits AFTER the last entity slot, so gold mention offsets
+            and the between-mentions predicate are untouched."""
+            if rng.random() < 0.4:
+                return post
+            tail = ["in", rng.choice(MONTHS), str(rng.randint(1980, 2030))]
+            if rng.random() < 0.5:
+                tail += ["near", "milepost", str(rng.randint(1, 99999))]
+            return post[:-1] + tail + [post[-1]]
+
         sents: list[str] = []          # sentence strings
         page_tokens: list[list[str]] = []
         for sent_j in range(n_sent):
@@ -254,15 +273,17 @@ def generate_corpus(n_pages: int, seed: int = 42, n_entities_per_type: int = 40)
                 continue
             roll = rng.random()
             if roll < 0.35:
-                s = rng.choice(FILLERS)
+                toks = rng.choice(FILLERS).split()
+                toks = vary(toks)
+                s = " ".join(toks)
                 sents.append(s)
-                page_tokens.append(s.split())
+                page_tokens.append(toks)
                 continue
             if roll < 0.60:  # one-slot template
                 pre, t1, post = rng.choice(TEMPLATES1)
                 e1 = rng.choice(ent_by_type[t1])
                 s1 = rng.choice(e1.surfaces)
-                toks = pre + s1.split() + post
+                toks = pre + s1.split() + vary(post)
                 start1 = len(pre)
                 end1 = start1 + len(s1.split())
                 sents.append(" ".join(toks))
@@ -278,7 +299,7 @@ def generate_corpus(n_pages: int, seed: int = 42, n_entities_per_type: int = 40)
             if e1.ent_id == e2.ent_id:
                 e2 = ent_by_type[t2][(ent_by_type[t2].index(e2) + 1) % len(ent_by_type[t2])]
             s1, s2 = rng.choice(e1.surfaces), rng.choice(e2.surfaces)
-            toks = pre + s1.split() + mid + s2.split() + post
+            toks = pre + s1.split() + mid + s2.split() + vary(post)
             start1 = len(pre)
             end1 = start1 + len(s1.split())
             start2 = end1 + len(mid)

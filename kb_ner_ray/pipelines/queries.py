@@ -534,10 +534,9 @@ def q_knn_bruteforce(sf_dir: str):
     from ..stages.similarity import knn_bruteforce, load_queries
 
     queries = load_queries(f"{sf_dir}/embeddings.parquet", N_QUERIES)
-    ds = knn_bruteforce(
+    df = knn_bruteforce(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
         queries, k=KNN_K)
-    df = ds.to_pandas()
     return df[["qid", "nid", "rank"]].astype(np.int64)
 
 
@@ -562,10 +561,9 @@ def q_ivf_knn(sf_dir: str):
     from ..stages.similarity import ivf_centroids, ivf_knn, load_queries
 
     path = f"{sf_dir}/embeddings.parquet"
-    ds = ivf_knn(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+    df = ivf_knn(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
                  load_queries(path, N_QUERIES), ivf_centroids(path),
                  k=KNN_K, nprobe=4)
-    df = ds.to_pandas()
     return df[["qid", "nid", "rank"]].astype(np.int64)
 
 
@@ -889,6 +887,33 @@ def q_kg_triples(sf_dir: str):
     return kg_triples(_corpus(sf_dir))
 
 
+def q_kg_contexts_entity(sf_dir: str):
+    """Iterative entity-level retrieval (reference --with_entity + second
+    pass, README.md:276-278): pass-1 mention detection feeds entity-boosted
+    BM25 queries (title boost 2.0)."""
+    from ..pipelines.kg import load_corpus_refs, sentences_dataset
+    from ..stages.retriever import RetrieverEntity, add_detected_entities
+    from ..state.gazetteer import Gazetteer
+
+    corpus = _corpus(sf_dir)
+    kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
+
+    class AddEnts:
+        def __init__(self):
+            self.gaz = Gazetteer(ray.get(gaz_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return add_detected_entities(t, gaz=self.gaz)
+
+    return (sentences_dataset(corpus, with_retrieval=False)
+            .map_batches(AddEnts, batch_format="pyarrow",
+                         concurrency=(1, 4))
+            .map_batches(RetrieverEntity,
+                         fn_constructor_kwargs={"kb_ref": kb_ref},
+                         batch_format="pyarrow", batch_size=512,
+                         concurrency=(1, 8)))
+
+
 def q_kg_ensemble(sf_dir: str):
     """Majority-vote span ensemble (A1): 3 gazetteer-variant taggers ->
     union -> groupby(sentence).map_groups greedy vote assignment."""
@@ -959,6 +984,7 @@ def queries_registry():
         "kg_contexts": q_kg_contexts,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
+        "kg_contexts_entity": q_kg_contexts_entity,
         "kg_ensemble": q_kg_ensemble,
         "kg_distant_supervision": q_kg_distant_supervision,
         "multimodal_image_features": q_multimodal_image_features,

@@ -22,11 +22,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..stages.canonicalize import ApplyCanonical, compute_canonical_map
+from ..stages.canonicalize import apply_canonical, compute_canonical_map
 from ..stages.extract import extract_pages
-from ..stages.retriever import RetrieveAttach
 from ..stages.sentences import explode_sentences
-from ..stages.tagger import TagLinkTriples
+from ..stages.tagger import RetrieveTagTriples
 from ..state.manifest import (
     input_fingerprint,
     partition_done,
@@ -51,13 +50,10 @@ def _raw_triples_for_files(files: list[str], kb_ref, gaz_ref,
         ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
         .map_batches(extract_pages, batch_format="pyarrow")
         .map_batches(explode_sentences, batch_format="pyarrow")
-        .map_batches(RetrieveAttach, fn_constructor_kwargs={"kb_ref": kb_ref},
-                     batch_format="pyarrow", batch_size=512,
-                     concurrency=concurrency)
-        .map_batches(TagLinkTriples,
+        .map_batches(RetrieveTagTriples,
                      fn_constructor_kwargs={"gaz_ref": gaz_ref,
                                             "kb_ref": kb_ref},
-                     batch_format="pyarrow", batch_size=1024,
+                     batch_format="pyarrow", batch_size=128,
                      concurrency=concurrency)
     )
     tables = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
@@ -96,8 +92,8 @@ def run_resumable(corpus: str, out_dir: str, n_partitions: int = 8,
         sorted(glob.glob(raw_dir + "/part=*/data.parquet")))
     canon = compute_canonical_map(raw_ds, ent_title)
     final = raw_ds.map_batches(
-        ApplyCanonical, fn_constructor_kwargs={"canon_ref": ray.put(canon)},
-        batch_format="pyarrow", concurrency=(1, 2))
+        apply_canonical, fn_kwargs={"canon_ref": ray.put(canon)},
+        batch_format="pyarrow")
     # final write is atomic-ish: build fresh, then swap (a rerun must not
     # append to last run's files)
     final_dir = os.path.join(out_dir, "triples")

@@ -51,8 +51,12 @@ def compute_canonical_map(raw_triples, ent_title: dict[int, str]) -> dict[str, s
     entity vocabulary, NOT the corpus — so collecting partials and summing
     in pandas replaces a full Ray sort-shuffle whose fixed cost dwarfs the
     few thousand rows it would move."""
+    # batch_size bundles the many small raw-triple blocks (one per upstream
+    # task) into few large batches: fewer combiner outputs and a cheap
+    # driver collect regardless of upstream task count
     partials = raw_triples.map_batches(partial_link_counts,
-                                       batch_format="pyarrow")
+                                       batch_format="pyarrow",
+                                       batch_size=65536)
     pdf = partials.to_pandas()  # vocabulary-sized partials
     agg = pdf.groupby(["surface", "ent_id"], as_index=False)["cnt"].sum()
     link_counts = {

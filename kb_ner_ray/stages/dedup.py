@@ -151,27 +151,27 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.8, docs_lookup=None):
     )
     lookup_ref = ray.put(docs_lookup)
 
-    class Verify:
-        def __init__(self):
-            self.docs = ray.get(lookup_ref)
-            self.cache: dict[int, set[int]] = {}
+    from .similarity import _cached_state
 
-        def _sh(self, doc_id: int) -> set[int]:
-            if doc_id not in self.cache:
-                self.cache[doc_id] = shingles(self.docs[doc_id])
-            return self.cache[doc_id]
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        docs = _cached_state(lookup_ref, lambda d: d)
+        cache: dict[int, set[int]] = {}
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                sa, sb = self._sh(int(a)), self._sh(int(b))
-                denom = len(sa | sb)
-                jac.append(len(sa & sb) / denom if denom else 0.0)
-            batch = batch.copy()
-            batch["jaccard"] = jac
-            return batch[batch["jaccard"] >= threshold]
+        def sh(doc_id: int) -> set[int]:
+            if doc_id not in cache:
+                cache[doc_id] = shingles(docs[doc_id])
+            return cache[doc_id]
 
-    return cands.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+        jac = []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            sa, sb = sh(int(a)), sh(int(b))
+            denom = len(sa | sb)
+            jac.append(len(sa & sb) / denom if denom else 0.0)
+        batch = batch.copy()
+        batch["jaccard"] = jac
+        return batch[batch["jaccard"] >= threshold]
+
+    return cands.map_batches(verify, batch_format="pandas")
 
 
 # ---- SimHash ----------------------------------------------------------------

@@ -75,15 +75,81 @@ class RetrieveAttach(_KBActorBase):
     (kb/context_process.py:401-479 semantics via oracle.attach_contexts).
     """
 
+    MEMO_CAP = 200_000
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        memo = getattr(self, "_memo", None)
+        if memo is None:
+            memo = self._memo = {}
         augs, n_ctxs = [], []
         for text in batch.column("text").to_pylist():
-            hits = self.index.search(text, k=TOP_K)
-            aug, n = attach_contexts_cached(
-                text, [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits]
-            )
-            augs.append(aug)
-            n_ctxs.append(n)
+            res = memo.get(text)
+            if res is None:
+                hits = self.index.search(text, k=TOP_K)
+                res = attach_contexts_cached(
+                    text,
+                    [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits],
+                )
+                if len(memo) >= self.MEMO_CAP:
+                    memo.clear()
+                memo[text] = res
+            augs.append(res[0])
+            n_ctxs.append(res[1])
         return batch.append_column(
             "aug_text", pa.array(augs, pa.string())
         ).append_column("n_contexts", pa.array(n_ctxs, pa.int32()))
+
+
+class RetrieverEntity(_KBActorBase):
+    """Entity-level ("--with_entity") retrieval — the reference's iterative
+    second pass (kb/generate_data.py:52-55 title boost 2.0; README.md:276-278):
+    mentions detected in pass 1 become entity clauses on the query.
+
+    Input rows carry ``entities`` (the ``ent1 | ent2`` list of the reference
+    header line, here a list<string> column); one query per (sentence,
+    entity), top-10 each.
+    """
+
+    def __init__(self, kb_ref, title_boost: float = 2.0):
+        super().__init__(kb_ref)
+        self.title_boost = title_boost
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, sids, ents, ranks, kb_ids, scores = [], [], [], [], [], []
+        for url, sid, text, entities in zip(
+            batch.column("url").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("entities").to_pylist(),
+        ):
+            for ent in entities or []:
+                hits = self.index.search(text, entity=ent, k=TOP_K,
+                                         title_boost=self.title_boost)
+                for rank, (row_i, score) in enumerate(hits):
+                    urls.append(url)
+                    sids.append(sid)
+                    ents.append(ent)
+                    ranks.append(rank)
+                    kb_ids.append(self.kb_rows[row_i]["kb_id"])
+                    scores.append(score)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "sent_id": pa.array(sids, pa.int32()),
+                "entity": pa.array(ents, pa.string()),
+                "rank": pa.array(ranks, pa.int32()),
+                "kb_id": pa.array(kb_ids, pa.int64()),
+                "score": pa.array(scores, pa.float32()),
+            }
+        )
+
+
+def add_detected_entities(batch: pa.Table, gaz=None) -> pa.Table:
+    """Pass-1 output -> ``entities`` column (detected mention surfaces),
+    feeding the iterative entity-level retrieval."""
+    out = []
+    for text in batch.column("text").to_pylist():
+        tokens = text.split()
+        spans = gaz.mentions_via_codec(tokens)
+        out.append([" ".join(tokens[s:e]) for s, e, _l, _sc in spans])
+    return batch.append_column("entities", pa.array(out, pa.list_(pa.string())))

@@ -31,57 +31,71 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class BatchTopK:
+_STATE_CACHE: dict = {}  # worker-local: ObjectRef -> built state
+
+
+def _cached_state(ref, build):
+    """Resolve a broadcast ObjectRef once per worker process (plain tasks
+    get actor-like state without per-execution actor-pool spin-up; the
+    object store read is node-local and the build is idempotent)."""
+    if not isinstance(ref, ray.ObjectRef):
+        return build(ref)
+    hit = _STATE_CACHE.get(ref)
+    if hit is None:
+        if len(_STATE_CACHE) > 8:
+            _STATE_CACHE.clear()
+        hit = build(ray.get(ref))
+        _STATE_CACHE[ref] = hit
+    return hit
+
+
+def batch_topk(batch: pa.Table, queries_ref=None, k: int = 5) -> pa.Table:
     """Per-batch partial cosine top-k against the broadcast query matrix."""
+    def build(q):
+        qids, qmat = q
+        return qids, _normalize(qmat), set(qids)
 
-    def __init__(self, queries_ref, k: int, exclude_query_ids=None):
-        qids, qmat = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
-            else queries_ref
-        self.qids = qids
-        self.q = _normalize(qmat)
-        self.k = k
-        self.exclude = set(exclude_query_ids or qids)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        keep = ~np.isin(vids, list(self.exclude))
-        vids = vids[keep]
-        if len(vids) == 0:
-            return pa.table({"qid": pa.array([], pa.int64()),
-                             "nid": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        m = _normalize(_matrix(batch.column("embedding"))[keep])
-        sims = self.q @ m.T  # (n_queries, n_batch)
-        k = min(self.k, sims.shape[1])
-        qout, nout, sout = [], [], []
-        for i, qid in enumerate(self.qids):
-            # ties broken by vec_id asc for determinism vs the SQL oracle
-            order = np.lexsort((vids, -sims[i]))[:k]
-            qout.extend([qid] * len(order))
-            nout.extend(vids[order])
-            sout.extend(sims[i][order])
-        return pa.table({"qid": pa.array(qout, pa.int64()),
-                         "nid": pa.array(nout, pa.int64()),
-                         "sim": pa.array(sout, pa.float64())})
+    qids, qnorm, exclude = _cached_state(queries_ref, build)
+    vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    keep = ~np.isin(vids, list(exclude))
+    vids = vids[keep]
+    if len(vids) == 0:
+        return pa.table({"qid": pa.array([], pa.int64()),
+                         "nid": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    m = _normalize(_matrix(batch.column("embedding"))[keep])
+    sims = qnorm @ m.T  # (n_queries, n_batch)
+    k = min(k, sims.shape[1])
+    qout, nout, sout = [], [], []
+    for i, qid in enumerate(qids):
+        # ties broken by vec_id asc for determinism vs the SQL oracle
+        order = np.lexsort((vids, -sims[i]))[:k]
+        qout.extend([qid] * len(order))
+        nout.extend(vids[order])
+        sout.extend(sims[i][order])
+    return pa.table({"qid": pa.array(qout, pa.int64()),
+                     "nid": pa.array(nout, pa.int64()),
+                     "sim": pa.array(sout, pa.float64())})
 
 
-def _final_topk_factory(k: int):
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "nid"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-    return final_topk
+def _driver_final_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Merge per-block partial top-ks on the driver — the stream is bounded
+    by n_blocks x n_queries x k, never by the corpus."""
+    pdf = pdf.sort_values(["qid", "sim", "nid"],
+                          ascending=[True, False, True])
+    out = pdf.groupby("qid", sort=False).head(k).copy()
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype(np.int64)
+    return out.reset_index(drop=True)
 
 
 def knn_bruteforce(emb_ds, queries: tuple[list[int], np.ndarray], k: int = 5):
-    """Dataset(vec_id, embedding) -> (qid, nid, sim, rank) global top-k."""
+    """Dataset(vec_id, embedding) -> (qid, nid, sim, rank) global top-k
+    (pandas DataFrame: partial top-k per block, driver-final merge)."""
     qref = ray.put(queries)
     partial = emb_ds.map_batches(
-        BatchTopK, fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4))
-    return partial.groupby("qid").map_groups(
-        _final_topk_factory(k), batch_format="pandas")
+        batch_topk, fn_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow")
+    return _driver_final_topk(partial.to_pandas(), k)
 
 
 def load_queries(parquet_path: str, n_queries: int = 5):
@@ -107,89 +121,82 @@ def ivf_centroids(parquet_path: str, n_centroids: int = 16) -> np.ndarray:
     return _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
 
 
-class IVFAssignTopK:
+def ivf_assign_topk(batch: pa.Table, state_ref=None, k: int = 5,
+                    nprobe: int = 4) -> pa.Table:
     """Assign batch vectors to centroid buckets; score only vectors whose
     bucket is among each query's nprobe probed buckets."""
+    def build(state):
+        (qids, qmat), cents = state
+        qnorm = _normalize(qmat)
+        sims = qnorm @ cents.T
+        probe = [set(np.argsort(-sims[i])[:nprobe].tolist())
+                 for i in range(len(qids))]
+        return qids, qnorm, cents, probe, set(qids)
 
-    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int = 4):
-        qids, qmat = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
-            else queries_ref
-        cents = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) \
-            else centroids_ref
-        self.qids = qids
-        self.q = _normalize(qmat)
-        self.cents = cents
-        self.k = k
-        # per query: the nprobe nearest centroid ids
-        sims = self.q @ cents.T
-        self.probe = [set(np.argsort(-sims[i])[:nprobe].tolist())
-                      for i in range(len(qids))]
-        self.exclude = set(qids)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        keep = ~np.isin(vids, list(self.exclude))
-        vids = vids[keep]
-        qout, nout, sout = [], [], []
-        if len(vids):
-            m = _normalize(_matrix(batch.column("embedding"))[keep])
-            buckets = np.argmax(m @ self.cents.T, axis=1)
-            sims = self.q @ m.T
-            for i, qid in enumerate(self.qids):
-                mask = np.isin(buckets, list(self.probe[i]))
-                if not mask.any():
-                    continue
-                sub_ids, sub_sims = vids[mask], sims[i][mask]
-                order = np.lexsort((sub_ids, -sub_sims))[:min(self.k, len(sub_ids))]
-                qout.extend([qid] * len(order))
-                nout.extend(sub_ids[order])
-                sout.extend(sub_sims[order])
-        return pa.table({"qid": pa.array(qout, pa.int64()),
-                         "nid": pa.array(nout, pa.int64()),
-                         "sim": pa.array(sout, pa.float64())})
+    qids, qnorm, cents, probe, exclude = _cached_state(state_ref, build)
+    vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    keep = ~np.isin(vids, list(exclude))
+    vids = vids[keep]
+    qout, nout, sout = [], [], []
+    if len(vids):
+        m = _normalize(_matrix(batch.column("embedding"))[keep])
+        buckets = np.argmax(m @ cents.T, axis=1)
+        sims = qnorm @ m.T
+        for i, qid in enumerate(qids):
+            mask = np.isin(buckets, list(probe[i]))
+            if not mask.any():
+                continue
+            sub_ids, sub_sims = vids[mask], sims[i][mask]
+            order = np.lexsort((sub_ids, -sub_sims))[:min(k, len(sub_ids))]
+            qout.extend([qid] * len(order))
+            nout.extend(sub_ids[order])
+            sout.extend(sub_sims[order])
+    return pa.table({"qid": pa.array(qout, pa.int64()),
+                     "nid": pa.array(nout, pa.int64()),
+                     "sim": pa.array(sout, pa.float64())})
 
 
 def ivf_knn(emb_ds, queries, centroids, k: int = 5, nprobe: int = 4):
-    qref, cref = ray.put(queries), ray.put(centroids)
+    sref = ray.put((queries, centroids))
     partial = emb_ds.map_batches(
-        IVFAssignTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "centroids_ref": cref,
-                               "k": k, "nprobe": nprobe},
-        batch_format="pyarrow", concurrency=(1, 4))
-    return partial.groupby("qid").map_groups(
-        _final_topk_factory(k), batch_format="pandas")
+        ivf_assign_topk, fn_kwargs={"state_ref": sref, "k": k,
+                                    "nprobe": nprobe},
+        batch_format="pyarrow")
+    return _driver_final_topk(partial.to_pandas(), k)
 
 
 # ---- embedding-cosine near-dup ---------------------------------------------
+
+
+def _near_dup_batch(batch: pa.Table, all_ref=None,
+                    threshold: float = 0.95) -> pa.Table:
+    def build(state):
+        vids, mat = state
+        return np.asarray(vids, dtype=np.int64), _normalize(mat)
+
+    all_vids, all_mat = _cached_state(all_ref, build)
+    vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize(_matrix(batch.column("embedding")))
+    sims = m @ all_mat.T
+    a_out, b_out, s_out = [], [], []
+    for i, a in enumerate(vids):
+        hits = np.where(sims[i] >= threshold)[0]
+        for j in hits:
+            b = all_vids[j]
+            if a < b:  # each unordered pair once
+                a_out.append(a)
+                b_out.append(b)
+                s_out.append(sims[i][j])
+    return pa.table({"vec_a": pa.array(a_out, pa.int64()),
+                     "vec_b": pa.array(b_out, pa.int64()),
+                     "sim": pa.array(s_out, pa.float64())})
 
 
 def near_dup_pairs(emb_ds, all_embeddings_ref, threshold: float = 0.95):
     """Pairs (a < b) with cosine >= threshold. The comparison side is the
     broadcast full matrix (fine for the small side; the scale path buckets
     by LSH hyperplane sign like simhash)."""
-
-    class NearDup:
-        def __init__(self):
-            vids, mat = ray.get(all_embeddings_ref)
-            self.vids = np.asarray(vids, dtype=np.int64)
-            self.mat = _normalize(mat)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            m = _normalize(_matrix(batch.column("embedding")))
-            sims = m @ self.mat.T
-            a_out, b_out, s_out = [], [], []
-            for i, a in enumerate(vids):
-                hits = np.where(sims[i] >= threshold)[0]
-                for j in hits:
-                    b = self.vids[j]
-                    if a < b:  # each unordered pair once
-                        a_out.append(a)
-                        b_out.append(b)
-                        s_out.append(sims[i][j])
-            return pa.table({"vec_a": pa.array(a_out, pa.int64()),
-                             "vec_b": pa.array(b_out, pa.int64()),
-                             "sim": pa.array(s_out, pa.float64())})
-
-    return emb_ds.map_batches(NearDup, batch_format="pyarrow",
-                              concurrency=(1, 4))
+    return emb_ds.map_batches(
+        _near_dup_batch,
+        fn_kwargs={"all_ref": all_embeddings_ref, "threshold": threshold},
+        batch_format="pyarrow")

@@ -48,7 +48,26 @@ class _GazActorBase:
 class TagLink(_GazActorBase):
     """(url, sent_id, text[, aug_text]) -> mentions rows with ent_id."""
 
+    MEMO_CAP = 200_000
+
+    def _mention_rows(self, text: str, aug: str | None) -> list:
+        tokens, spans = self._sentence_mentions(text, aug)
+        out = []
+        sent_set = None
+        for start, end, label, score in spans:
+            surf = tokens[start:end]
+            if sent_set is None and len(
+                    self.gaz.candidates.get(tuple(surf), ())) > 1:
+                sent_set = set(analyze(" ".join(tokens)))
+            ent = link_mention(tuple(surf), tokens, self.gaz,
+                               self.ent_def_tokens, sent_set=sent_set)
+            out.append((start, end, " ".join(surf), label, score, ent))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        memo = getattr(self, "_memo", None)
+        if memo is None:
+            memo = self._memo = {}
         has_aug = "aug_text" in batch.column_names
         urls, sids, starts, ends, surfs, labels, scores, ents = (
             [], [], [], [], [], [], [], [])
@@ -58,20 +77,18 @@ class TagLink(_GazActorBase):
             batch.column("text").to_pylist(),
         )):
             aug = batch.column("aug_text")[i].as_py() if has_aug else None
-            tokens, spans = self._sentence_mentions(text, aug)
-            sent_set = None
-            for start, end, label, score in spans:
-                surf = tokens[start:end]
-                if sent_set is None and len(
-                        self.gaz.candidates.get(tuple(surf), ())) > 1:
-                    sent_set = set(analyze(" ".join(tokens)))
-                ent = link_mention(tuple(surf), tokens, self.gaz,
-                                   self.ent_def_tokens, sent_set=sent_set)
+            rows = memo.get((text, aug))
+            if rows is None:
+                rows = self._mention_rows(text, aug)
+                if len(memo) >= self.MEMO_CAP:
+                    memo.clear()
+                memo[(text, aug)] = rows
+            for start, end, surf, label, score, ent in rows:
                 urls.append(url)
                 sids.append(sid)
                 starts.append(start)
                 ends.append(end)
-                surfs.append(" ".join(surf))
+                surfs.append(surf)
                 labels.append(label)
                 scores.append(score)
                 ents.append(ent)
@@ -153,7 +170,7 @@ class RetrieveTagTriples(_GazActorBase):
     kg_mentions).
     """
 
-    MEMO_CAP = 200_000  # distinct sentences kept per actor (~100 MB worst case)
+    MEMO_CAP = 400_000  # distinct sentences kept per actor/worker
 
     def __init__(self, gaz_ref, kb_ref):
         super().__init__(gaz_ref, kb_ref=kb_ref)
@@ -227,3 +244,120 @@ class RetrieveTagTriples(_GazActorBase):
                 "sent_id": pa.array(sids, pa.int32()),
             }
         )
+
+
+_TASK_STATE: dict = {}  # worker-local: (kb_ref, gaz_ref) -> built stage
+
+
+def retrieve_tag_triples(batch: pa.Table, kb_ref=None, gaz_ref=None) -> pa.Table:
+    """Plain-task variant of RetrieveTagTriples: state (BM25 index,
+    gazetteer, memo) is built once per WORKER PROCESS from the broadcast
+    refs and cached, so the timed path has zero actor-pool spin-up and task
+    parallelism scales elastically with the cluster.  A GPU deployment
+    swaps back to the actor-pool class (model weights want explicit pool
+    sizing + num_gpus); the dataflow is identical."""
+    key = (kb_ref, gaz_ref)
+    st = _TASK_STATE.get(key)
+    if st is None:
+        _TASK_STATE.clear()  # at most one live corpus per worker
+        st = RetrieveTagTriples(gaz_ref, kb_ref)
+        _TASK_STATE[key] = st
+    return st(batch)
+
+
+@ray.remote(num_cpus=0)
+class MemoShard:
+    """One shard of the cluster-wide sentence-result cache.
+
+    Web corpora are duplicate-heavy; a per-worker memo recomputes each
+    distinct sentence once PER WORKER, so total work grows with cluster
+    width (anti-scaling).  Sharded num_cpus=0 cache actors make the memo
+    cluster-global: each distinct sentence is computed once per CLUSTER and
+    the shuffle-free stream stays intact.  On a multi-node cluster these
+    shards are spread across nodes (Ray places num_cpus=0 actors anywhere);
+    a stricter deployment pins one shard group per node via
+    NodeAffinitySchedulingStrategy.
+    """
+
+    def __init__(self, cap: int = 500_000):
+        self.d: dict = {}
+        self.cap = cap
+
+    def get_many(self, keys: list) -> dict:
+        d = self.d
+        return {k: d[k] for k in keys if k in d}
+
+    def put_many(self, items: dict) -> None:
+        if len(self.d) + len(items) > self.cap:
+            self.d.clear()
+        self.d.update(items)
+
+
+def retrieve_tag_triples_shared(batch: pa.Table, kb_ref=None, gaz_ref=None,
+                                shards: list | None = None) -> pa.Table:
+    """retrieve_tag_triples with the cluster-wide memo: check the local
+    memo, then the hash-sharded cache actors, compute only what no worker
+    has seen, and publish new results (fire-and-forget)."""
+    key = (kb_ref, gaz_ref)
+    st = _TASK_STATE.get(key)
+    if st is None:
+        _TASK_STATE.clear()
+        st = RetrieveTagTriples(gaz_ref, kb_ref)
+        _TASK_STATE[key] = st
+    memo = st._memo
+    texts = batch.column("text").to_pylist()
+    if shards:
+        import zlib
+
+        k = len(shards)
+        missing = {t for t in texts if t not in memo}
+        if missing:
+            by_shard: list[list] = [[] for _ in range(k)]
+            shard_of = {t: zlib.crc32(t.encode()) % k for t in missing}
+            for t in missing:
+                by_shard[shard_of[t]].append(t)
+            futures = [shards[i].get_many.remote(by_shard[i])
+                       for i in range(k) if by_shard[i]]
+            for res in ray.get(futures):
+                memo.update(res)
+            new_by_shard: list[dict] = [{} for _ in range(k)]
+            for t in missing:
+                if t not in memo:
+                    res = st._sentence_triples(t)
+                    memo[t] = res
+                    new_by_shard[shard_of[t]][t] = res
+            for i in range(k):
+                if new_by_shard[i]:
+                    shards[i].put_many.remote(new_by_shard[i])
+    # all texts now resolvable via the local memo
+    s_surf, s_ent, preds, o_surf, o_ent, urls, sids = ([], [], [], [], [], [], [])
+    for url, sid, text in zip(
+        batch.column("url").to_pylist(),
+        batch.column("sent_id").to_pylist(),
+        texts,
+    ):
+        res = memo.get(text)
+        if res is None:
+            res = st._sentence_triples(text)
+            if len(memo) >= st.MEMO_CAP:
+                memo.clear()
+            memo[text] = res
+        for surf1, ent1, pred, surf2, ent2 in res:
+            s_surf.append(surf1)
+            s_ent.append(ent1)
+            preds.append(pred)
+            o_surf.append(surf2)
+            o_ent.append(ent2)
+            urls.append(url)
+            sids.append(sid)
+    return pa.table(
+        {
+            "subj_surface": pa.array(s_surf, pa.string()),
+            "subj_ent": pa.array(s_ent, pa.int64()),
+            "pred": pa.array(preds, pa.string()),
+            "obj_surface": pa.array(o_surf, pa.string()),
+            "obj_ent": pa.array(o_ent, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "sent_id": pa.array(sids, pa.int32()),
+        }
+    )

@@ -73,3 +73,49 @@ def test_topn_partial_merge_is_exact():
     cand_ids, cand_vals = np.array(cand_ids), np.array(cand_vals)
     o = np.lexsort((cand_ids, -cand_vals))[:3]
     assert set(cand_ids[o]) == want
+
+
+def test_entity_boost_promotes_title_match(tiny_corpus, ray_session):
+    """--with_entity semantics: a boosted title clause must rank the named
+    entity's KB sentences above a pure-text match (kb/generate_data.py:52-55)."""
+    from kb_ner_ray.state.bm25 import KBIndex
+
+    kb = tiny_corpus["kb"].to_pylist()
+    idx = KBIndex(kb)
+    ent = kb[0]["title"]
+    query = kb[0]["sentence"]
+    plain = idx.search(query, k=10)
+    boosted = idx.search(query, entity=ent, k=10)
+    title_rows = {i for i, r in enumerate(kb) if r["title"] == ent}
+
+    def best_rank(hits):
+        for rank, (row_i, _s) in enumerate(hits):
+            if row_i in title_rows:
+                return rank
+        return len(hits)
+
+    assert best_rank(boosted) <= best_rank(plain)
+    # boosted scores for the entity's rows strictly increase
+    plain_scores = dict(plain)
+    for row_i, score in boosted:
+        if row_i in title_rows and row_i in plain_scores:
+            assert score > plain_scores[row_i]
+
+
+def test_retriever_entity_stage(tiny_corpus, ray_session):
+    import ray as _ray
+
+    from kb_ner_ray.stages.retriever import RetrieverEntity
+
+    kb = tiny_corpus["kb"].to_pylist()
+    batch = pa.table({
+        "url": pa.array(["u"], pa.string()),
+        "sent_id": pa.array([0], pa.int32()),
+        "text": [kb[0]["sentence"]],
+        "entities": pa.array([[kb[0]["title"]]], pa.list_(pa.string())),
+    })
+    out = RetrieverEntity(kb_ref=kb)(batch)
+    assert out.num_rows > 0
+    assert out.column("entity").to_pylist()[0] == kb[0]["title"]
+    ranks = [r for r in out.column("rank").to_pylist()]
+    assert ranks == sorted(ranks)

@@ -85,8 +85,7 @@ def test_knn_bruteforce_matches_numpy_oracle():
     rng = np.random.RandomState(3)
     mat = rng.randn(50, 16)
     qids = [0, 1]
-    ds = knn_bruteforce(_emb_ds(mat), (qids, mat[qids]), k=4)
-    df = ds.to_pandas()
+    df = knn_bruteforce(_emb_ds(mat), (qids, mat[qids]), k=4)
     norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     sims = norm[qids] @ norm.T
     for qi, qid in enumerate(qids):
@@ -101,8 +100,8 @@ def test_ivf_recall_vs_bruteforce():
     qids = [0, 1, 2]
     queries = (qids, mat[qids])
     cents = mat[:8] / np.linalg.norm(mat[:8], axis=1, keepdims=True)
-    bf = knn_bruteforce(_emb_ds(mat), queries, k=5).to_pandas()
-    ivf = ivf_knn(_emb_ds(mat), queries, cents, k=5, nprobe=4).to_pandas()
+    bf = knn_bruteforce(_emb_ds(mat), queries, k=5)
+    ivf = ivf_knn(_emb_ds(mat), queries, cents, k=5, nprobe=4)
     recalls = []
     for qid in qids:
         want = set(bf[bf.qid == qid]["nid"])
