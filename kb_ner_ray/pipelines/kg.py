@@ -28,7 +28,7 @@ import ray
 from ..data.synth import corpus_dir, sf_dir_to_sf
 from ..stages.canonicalize import apply_canonical, compute_canonical_map
 from ..stages.extract import extract_pages
-from ..stages.retriever import RetrieveAttach
+from ..stages.retriever import retrieve_attach
 from ..stages.sentences import explode_sentences
 from ..stages.tagger import (
     MemoShard,
@@ -121,16 +121,13 @@ def sentences_dataset(corpus: str, parallelism: int | None = None,
     )
     if with_retrieval:
         assert kb_ref is not None
-        # batch_size is in PAGES (the stage fuses with extract/explode):
-        # 128 pages ~ 1.2k sentences per task, so a 32-CPU node sees ~4
-        # waves of work per 12k-page shard instead of one long tail.
+        # batch_size is in PAGES (the stage fuses with extract/explode);
+        # plain tasks + worker-local cached index (stages/retriever.py)
         sents = sents.map_batches(
-            RetrieveAttach,
-            fn_constructor_kwargs={"kb_ref": kb_ref},
+            retrieve_attach,
+            fn_kwargs={"kb_ref": kb_ref},
             batch_format="pyarrow",
-            batch_size=128,
-            concurrency=concurrency or _default_concurrency(),
-            num_cpus=1,
+            batch_size=_pages_batch_size(corpus),
         )
     return sents
 

@@ -860,25 +860,25 @@ def q_kg_sentences(sf_dir: str):
 
 def q_kg_contexts(sf_dir: str):
     from ..pipelines.kg import load_corpus_refs, sentences_dataset
-    from ..stages.retriever import Retriever
+    from ..stages.retriever import retrieve_contexts
 
     corpus = _corpus(sf_dir)
     kb_ref, _gaz_ref, _ = load_corpus_refs(corpus)
     return sentences_dataset(corpus, with_retrieval=False).map_batches(
-        Retriever, fn_constructor_kwargs={"kb_ref": kb_ref},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+        retrieve_contexts, fn_kwargs={"kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=512)
 
 
 def q_kg_mentions(sf_dir: str):
     from ..pipelines.kg import load_corpus_refs, sentences_dataset
-    from ..stages.tagger import TagLink
+    from ..stages.tagger import tag_link
 
     corpus = _corpus(sf_dir)
     kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
     return sentences_dataset(corpus, with_retrieval=True,
                              kb_ref=kb_ref).map_batches(
-        TagLink, fn_constructor_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
+        tag_link, fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=1024)
 
 
 def q_kg_triples(sf_dir: str):

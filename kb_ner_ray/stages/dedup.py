@@ -32,24 +32,28 @@ import pyarrow as pa
 def add_content_hash(batch: pa.Table) -> pa.Table:
     h = [hashlib.md5(t.encode("utf-8")).hexdigest()
          for t in batch.column("text").to_pylist()]
-    return batch.append_column("content_hash", pa.array(h, pa.string()))
+    t = batch.append_column("content_hash", pa.array(h, pa.string()))
+    # coarse shuffle key: 32 salt buckets instead of |distinct hashes|
+    # groups — per-group dispatch must stay O(buckets), not O(corpus)
+    salt = [int(x[:2], 16) % 32 for x in h]
+    return t.append_column("salt", pa.array(salt, pa.int32()))
 
 
-def keep_first_by_hash(group: pd.DataFrame) -> pd.DataFrame:
-    """Per content-hash group: keep the min-doc_id row + duplicate count
+def collapse_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Per salt bucket: vectorized keep-min-doc_id + count per content hash
     (reference M3 semantics, kb/parse_text.py:49-52, made global)."""
-    out = group.nsmallest(1, "doc_id")[["doc_id", "content_hash"]].copy()
-    out["n_dups"] = len(group)
-    return out
+    out = group.groupby("content_hash", as_index=False).agg(
+        doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+    return out[["doc_id", "content_hash", "n_dups"]]
 
 
 def exact_dedup(docs_ds):
     """Dataset(doc_id, text) -> Dataset(doc_id, content_hash, n_dups)."""
     return (
         docs_ds.map_batches(add_content_hash, batch_format="pyarrow")
-        .select_columns(["doc_id", "content_hash"])
-        .groupby("content_hash")
-        .map_groups(keep_first_by_hash, batch_format="pandas")
+        .select_columns(["doc_id", "content_hash", "salt"])
+        .groupby("salt")
+        .map_groups(collapse_bucket, batch_format="pandas")
     )
 
 
@@ -117,14 +121,22 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
 
 def candidate_pairs_from_band(group: pd.DataFrame,
                               max_group: int = 200) -> pd.DataFrame:
-    """Bucket -> unique candidate (a < b) pairs; giant buckets capped (cap
-    logged via n_truncated so silent skew loss is visible)."""
-    ids = sorted(group["doc_id"].unique())[:max_group]
+    """ALL buckets of one band -> unique candidate (a < b) pairs.
+
+    The group key is band_id (16 coarse groups), NOT (band_id, band_hash):
+    per-group pandas dispatch costs ~0.1 ms, so grouping on the ~|corpus|
+    distinct bucket hashes would cost more than the hashing itself.  Bucket
+    collisions are found vectorized inside the band; giant buckets capped
+    at ``max_group`` docs (skew guard)."""
+    sizes = group.groupby("band_hash")["doc_id"].transform("size")
+    hot = group[sizes >= 2]
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    for _bh, grp in hot.groupby("band_hash", sort=False):
+        ids = sorted(grp["doc_id"].unique())[:max_group]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
     return pd.DataFrame({"doc_a": a, "doc_b": b})
 
 
@@ -143,7 +155,7 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.8, docs_lookup=None):
     # repartition(K) on hash(doc_a) with per-block dedup.
     cands = (
         docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("band_id")
         .map_groups(candidate_pairs_from_band, batch_format="pandas")
         .repartition(1)
         .map_batches(lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
@@ -216,24 +228,30 @@ def simhash_bands(batch: pa.Table) -> pa.Table:
 
 def simhash_pairs_from_band(group: pd.DataFrame, max_dist: int = 3,
                             max_group: int = 200) -> pd.DataFrame:
-    g = group.drop_duplicates("doc_id").nsmallest(max_group, "doc_id")
-    ids = g["doc_id"].to_numpy()
-    hs = g["simhash"].to_numpy()
+    """ALL buckets of one 16-bit band (coarse group key, see
+    candidate_pairs_from_band): Hamming-verify pairs inside each colliding
+    band_val bucket."""
+    sizes = group.groupby("band_val")["doc_id"].transform("size")
+    hot = group[sizes >= 2]
     a, b, d = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            dist = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-            if dist <= max_dist:
-                a.append(ids[i])
-                b.append(ids[j])
-                d.append(dist)
+    for _bv, grp in hot.groupby("band_val", sort=False):
+        g = grp.drop_duplicates("doc_id").nsmallest(max_group, "doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dist = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                if dist <= max_dist:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    d.append(dist)
     return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
 
 
 def simhash_near_dups(docs_ds, max_dist: int = 3):
     return (
         docs_ds.map_batches(simhash_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
+        .groupby("band_id")
         .map_groups(lambda g: simhash_pairs_from_band(g, max_dist),
                     batch_format="pandas")
         .repartition(1)  # pair stream is collision-sized; see minhash note

@@ -153,3 +153,30 @@ def add_detected_entities(batch: pa.Table, gaz=None) -> pa.Table:
         spans = gaz.mentions_via_codec(tokens)
         out.append([" ".join(tokens[s:e]) for s, e, _l, _sc in spans])
     return batch.append_column("entities", pa.array(out, pa.list_(pa.string())))
+
+
+_RA_STATE: dict = {}  # worker-local: kb_ref -> RetrieveAttach instance
+
+
+def retrieve_attach(batch: pa.Table, kb_ref=None) -> pa.Table:
+    """Plain-task RetrieveAttach: per-worker cached index/memo, no actor
+    pool spin-up (same pattern as stages/tagger.retrieve_tag_triples)."""
+    st = _RA_STATE.get(kb_ref)
+    if st is None:
+        _RA_STATE.clear()
+        st = RetrieveAttach(kb_ref)
+        _RA_STATE[kb_ref] = st
+    return st(batch)
+
+
+_RET_STATE: dict = {}  # worker-local: kb_ref -> Retriever instance
+
+
+def retrieve_contexts(batch: pa.Table, kb_ref=None) -> pa.Table:
+    """Plain-task Retriever (contexts table output) with cached index."""
+    st = _RET_STATE.get(kb_ref)
+    if st is None:
+        _RET_STATE.clear()
+        st = Retriever(kb_ref)
+        _RET_STATE[kb_ref] = st
+    return st(batch)

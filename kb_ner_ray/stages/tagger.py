@@ -361,3 +361,17 @@ def retrieve_tag_triples_shared(batch: pa.Table, kb_ref=None, gaz_ref=None,
             "sent_id": pa.array(sids, pa.int32()),
         }
     )
+
+
+_TL_STATE: dict = {}  # worker-local: (gaz_ref, kb_ref) -> TagLink instance
+
+
+def tag_link(batch: pa.Table, gaz_ref=None, kb_ref=None) -> pa.Table:
+    """Plain-task TagLink with worker-local cached state."""
+    key = (gaz_ref, kb_ref)
+    st = _TL_STATE.get(key)
+    if st is None:
+        _TL_STATE.clear()
+        st = TagLink(gaz_ref, kb_ref=kb_ref)
+        _TL_STATE[key] = st
+    return st(batch)
