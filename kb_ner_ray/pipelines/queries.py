@@ -314,6 +314,48 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+ROLLING_MIN = 30
+
+
+def q_events_rolling_count(sf_dir: str):
+    """Rolling time-window aggregate: per event, how many of the same
+    user's events fall in the preceding 30 minutes (RANGE frame incl.
+    ts-peers).  ONE shuffle on a coarse user-hash bucket; per-user windows
+    vectorized with searchsorted inside the bucket."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 31), pa.int32())
+        return t.append_column("bucket", b)
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _uid, u in g.groupby("user_id", sort=False):
+            u = u.sort_values("ts")
+            ts = u["ts"].to_numpy()
+            lo = np.searchsorted(ts, ts - np.timedelta64(ROLLING_MIN, "m"),
+                                 side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            u = u.copy()
+            u["n_window"] = (hi - lo).astype(np.int64)
+            out.append(u[["event_id", "user_id", "n_window"]])
+        return pd.concat(out) if out else pd.DataFrame(
+            {"event_id": [], "user_id": [], "n_window": []})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(rolling, batch_format="pandas"))
+
+
+SQL_ROLLING = f"""
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL {ROLLING_MIN} MINUTE PRECEDING
+                      AND CURRENT ROW) AS n_window
+FROM events
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """COUNT(DISTINCT) via two-phase: per-batch distinct pairs, then a pair
     groupby, then a count per key — no full-row shuffle."""
@@ -759,6 +801,68 @@ WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 8 = 0
 """
 
 
+def q_order_priority_exists(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join with date predicates on both sides:
+    orders from 1996Q1 having >=1 late-shipped lineitem, counted per
+    priority.  Dataflow: filtered lineitem scan -> per-batch DISTINCT
+    orderkeys (combiner) -> broadcast key set -> filtered orders scan ->
+    per-batch priority counts -> driver-final.  No shuffle; at scale the
+    key set becomes a bucketed semi-join on l_orderkey."""
+    from datetime import datetime
+
+    lo = datetime(1996, 1, 1)
+    hi = datetime(1996, 4, 1)
+    ship = datetime(1996, 6, 1)
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return t.group_by("l_orderkey").aggregate([])
+
+    keys_df = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"],
+                        filter=(pc.field("l_shipdate") >= pa.scalar(ship)))
+        .map_batches(distinct_keys, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keyset = ray.put(set(keys_df["l_orderkey"].tolist()))
+
+    class ExistsCount:
+        def __init__(self):
+            self.keys = ray.get(keyset)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k in self.keys for k in t["o_orderkey"].to_pylist()]
+            t = t.filter(pa.array(mask, pa.bool_()))
+            return t.group_by("o_orderpriority").aggregate(
+                [("o_orderkey", "count")])
+
+    pdf = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+            filter=((pc.field("o_orderdate") >= pa.scalar(lo))
+                    & (pc.field("o_orderdate") < pa.scalar(hi))))
+        .map_batches(ExistsCount, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+    )
+    df = pdf.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("o_orderkey_count", "sum"))
+    df["n_orders"] = df["n_orders"].astype(np.int64)
+    return df
+
+
+SQL_ORDER_PRIORITY_EXISTS = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= TIMESTAMP '1996-06-01')
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_corpus_stats(sf_dir: str):
     """Token-length histogram over documents (reference A3 corpus-stats
     seat, flair/data.py obtain_statistics) — combiner + driver-final."""
@@ -959,6 +1063,7 @@ def queries_registry():
         "part_filter_topk": q_part_filter_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_rolling_count": q_events_rolling_count,
         "distinct_users": q_distinct_users,
         "events_asof_orders": q_events_asof_orders,
         "props_json": q_props_json,
@@ -977,6 +1082,7 @@ def queries_registry():
         "events_topn_per_type": q_events_topn_per_type,
         "nation_acctbal_minmax": q_nation_acctbal_minmax,
         "union_sample": q_union_sample,
+        "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "kg_extract_docs": q_kg_extract_docs,
@@ -1000,6 +1106,7 @@ def oracle_registry():
         "part_filter_topk": SQL_PART_TOPK,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_SESSIONIZE,
+        "events_rolling_count": SQL_ROLLING,
         "distinct_users": SQL_DISTINCT_USERS,
         "events_asof_orders": SQL_ASOF,
         "props_json": SQL_PROPS_JSON,
@@ -1014,6 +1121,7 @@ def oracle_registry():
         "events_topn_per_type": SQL_TOPN_PER_GROUP,
         "nation_acctbal_minmax": SQL_MINMAX,
         "union_sample": SQL_UNION_SAMPLE,
+        "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -61,38 +61,61 @@ class VariantTagger:
 
 
 def vote_group_factory(n_models: int, threshold: float | None = None):
-    """Per-(url, sent_id) vote + greedy assignment; threshold defaults to the
-    reference's n_models * 0.5 (ensemble_prediction.py:505)."""
+    """Vote + greedy assignment for ALL sentences of one url bucket.
+
+    Grouped on ``url`` (page granularity), not (url, sent_id): per-group
+    pandas dispatch is ~0.1 ms, so sentence-granular groups would dominate
+    the voting itself.  Threshold defaults to the reference's
+    n_models * 0.5 (ensemble_prediction.py:505); the per-sentence kernel is
+    the pinned ``greedy_vote_assign``."""
     thr = n_models * 0.5 if threshold is None else threshold
 
     def vote(group: pd.DataFrame) -> pd.DataFrame:
-        votes: dict[tuple[int, int, str], int] = {}
-        for s, e, lab in zip(group["start_tok"], group["end_tok"],
-                             group["label"]):
-            votes[(int(s), int(e), lab)] = votes.get((int(s), int(e), lab), 0) + 1
-        kept = greedy_vote_assign(votes, int(group["n_tokens"].iloc[0]), thr)
-        return pd.DataFrame({
-            "url": group["url"].iloc[0],
-            "sent_id": group["sent_id"].iloc[0],
-            "start_tok": [k[0] for k in kept],
-            "end_tok": [k[1] for k in kept],
-            "label": [k[2] for k in kept],
-            "votes": [votes[k] for k in kept],
-        })
+        rows: list[tuple] = []
+        for (url, sid), g in group.groupby(["url", "sent_id"], sort=False):
+            votes: dict[tuple[int, int, str], int] = {}
+            for s, e, lab in zip(g["start_tok"], g["end_tok"], g["label"]):
+                key = (int(s), int(e), lab)
+                votes[key] = votes.get(key, 0) + 1
+            kept = greedy_vote_assign(votes, int(g["n_tokens"].iloc[0]), thr)
+            rows.extend((url, sid, k[0], k[1], k[2], votes[k]) for k in kept)
+        return pd.DataFrame(rows, columns=["url", "sent_id", "start_tok",
+                                           "end_tok", "label", "votes"])
 
     return vote
 
 
+_VT_STATE: dict = {}  # worker-local: (gaz_ref, model_id, n) -> VariantTagger
+
+
+def variant_tag(batch: pa.Table, gaz_ref=None, model_id: int = 0,
+                n_models: int = 3) -> pa.Table:
+    key = (gaz_ref, model_id, n_models)
+    st = _VT_STATE.get(key)
+    if st is None:
+        if len(_VT_STATE) > 8:
+            _VT_STATE.clear()
+        st = VariantTagger(gaz_ref, model_id, n_models)
+        _VT_STATE[key] = st
+    return st(batch)
+
+
+def all_variants_tag(batch: pa.Table, gaz_ref=None,
+                     n_models: int = 3) -> pa.Table:
+    """Run ALL n model variants over the batch in one pass (one upstream
+    execution instead of n union branches each re-running the
+    extract/explode chain)."""
+    outs = [variant_tag(batch, gaz_ref=gaz_ref, model_id=m,
+                        n_models=n_models) for m in range(n_models)]
+    return pa.concat_tables(outs)
+
+
 def ensemble_mentions(sentences_ds, gaz_ref, n_models: int = 3,
-                      concurrency=(1, 4)):
+                      concurrency=None):
     """sentences -> ensembled mention spans across n gazetteer variants."""
-    preds = None
-    for m in range(n_models):
-        p = sentences_ds.map_batches(
-            VariantTagger,
-            fn_constructor_kwargs={"gaz_ref": gaz_ref, "model_id": m,
-                                   "n_models": n_models},
-            batch_format="pyarrow", concurrency=concurrency)
-        preds = p if preds is None else preds.union(p)
-    return preds.groupby(["url", "sent_id"]).map_groups(
+    preds = sentences_ds.map_batches(
+        all_variants_tag,
+        fn_kwargs={"gaz_ref": gaz_ref, "n_models": n_models},
+        batch_format="pyarrow")
+    return preds.groupby("url").map_groups(
         vote_group_factory(n_models), batch_format="pandas")
