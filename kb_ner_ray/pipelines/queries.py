@@ -991,6 +991,49 @@ def q_kg_triples(sf_dir: str):
     return kg_triples(_corpus(sf_dir))
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic train/dev/test assignment (reference O5 seat,
+    tools/split.py 80/10/10): modulo split on the stable doc key — hash/mod
+    instead of RNG so the assignment is reproducible and oracle-checkable."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        mod = [int(d) % 10 for d in t["doc_id"].to_pylist()]
+        split = ["train" if x < 8 else ("dev" if x == 8 else "test")
+                 for x in mod]
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_DOC_SPLITS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'dev' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_kg_span_metric(sf_dir: str):
+    """Distributed span P/R/F1 (A2): the staged mentions output evaluated
+    against the oracle's mentions via per-batch partial TP/FP counts."""
+    from ..data.oracle import run_oracle
+    from ..pipelines.kg import _read_table_dir
+    from ..stages.metrics import span_prf_distributed
+
+    corpus = _corpus(sf_dir)
+    pages = _read_table_dir(corpus + "/pages")
+    kb = _read_table_dir(corpus + "/kb")
+    gaz = _read_table_dir(corpus + "/gazetteer")
+    gold = run_oracle(pages, kb, gaz)["mentions"].to_pylist()
+    df = span_prf_distributed(q_kg_mentions(sf_dir), gold)
+    df = df.sort_values("label").reset_index(drop=True)
+    for c in ("precision", "recall", "f1"):
+        df[c + "_bp"] = _cents(df[c], 10000)
+    return df[["label", "tp", "fp", "fn", "precision_bp", "recall_bp",
+               "f1_bp"]]
+
+
 def q_kg_contexts_entity(sf_dir: str):
     """Iterative entity-level retrieval (reference --with_entity + second
     pass, README.md:276-278): pass-1 mention detection feeds entity-boosted
@@ -1085,6 +1128,8 @@ def queries_registry():
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
+        "doc_splits": q_doc_splits,
+        "kg_span_metric": q_kg_span_metric,
         "kg_extract_docs": q_kg_extract_docs,
         "kg_sentences": q_kg_sentences,
         "kg_contexts": q_kg_contexts,
@@ -1124,6 +1169,7 @@ def oracle_registry():
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,
         # doc_langid, minhash_dedup, simhash_dedup, ivf_knn and the kg_*
         # pipeline entries (incl. ensemble / distant supervision /

@@ -180,3 +180,28 @@ def retrieve_contexts(batch: pa.Table, kb_ref=None) -> pa.Table:
         st = Retriever(kb_ref)
         _RET_STATE[kb_ref] = st
     return st(batch)
+
+
+def dedup_contexts(contexts_ds, min_results: int = 6):
+    """Per-query retrieval-result dedup + short-result flag (reference A6,
+    kb/context_process.py:960-970: per keyword set() -> rank-ordered texts,
+    flag keywords with <6 results).
+
+    Grouped on the coarse ``url`` key (page granularity); per-query dedup
+    vectorized inside the group.
+    """
+    import pandas as pd
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (url, sid), g in group.groupby(["url", "sent_id"], sort=False):
+            g = g.sort_values("rank").drop_duplicates("kb_sentence")
+            g = g.copy()
+            g["rank"] = range(len(g))
+            g["few_results"] = len(g) < min_results
+            out.append(g)
+        return pd.concat(out) if out else group.head(0).assign(
+            few_results=pd.Series([], dtype=bool))
+
+    return contexts_ds.groupby("url").map_groups(dedup,
+                                                 batch_format="pandas")

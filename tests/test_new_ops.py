@@ -119,3 +119,53 @@ def test_retriever_entity_stage(tiny_corpus, ray_session):
     assert out.column("entity").to_pylist()[0] == kb[0]["title"]
     ranks = [r for r in out.column("rank").to_pylist()]
     assert ranks == sorted(ranks)
+
+
+def test_span_prf_distributed_matches_pure(tiny_corpus, ray_session):
+    """Distributed partial-count metric == pure span_prf on the same data."""
+    import ray as _ray
+
+    from kb_ner_ray.data.oracle import run_oracle
+    from kb_ner_ray.functions.spans import span_prf
+    from kb_ner_ray.stages.metrics import span_prf_distributed
+
+    out = run_oracle(tiny_corpus["pages"], tiny_corpus["kb"],
+                     tiny_corpus["gazetteer"])
+    gold = out["mentions"].to_pylist()
+    # predictions = gold with the first 5 rows dropped and 3 rows forged
+    pred_rows = gold[5:] + [dict(gold[0], start_tok=97, end_tok=99)
+                            for _ in range(3)]
+    pred_t = pa.Table.from_pylist(pred_rows)
+    df = span_prf_distributed(_ray.data.from_arrow(pred_t), gold)
+    micro = df[df.label == "__micro__"].iloc[0]
+
+    key = lambda r: (r["url"], r["sent_id"], r["start_tok"], r["end_tok"],
+                     r["label"])
+    p, r, f1, tp, fp, fn = span_prf([key(g) for g in gold],
+                                    [key(x) for x in pred_rows])
+    assert (micro.tp, micro.fp, micro.fn) == (tp, fp, fn)
+    assert abs(micro.precision - p) < 1e-12
+    assert abs(micro.recall - r) < 1e-12
+
+
+def test_dedup_contexts_a6(tiny_corpus, ray_session):
+    import ray as _ray
+
+    from kb_ner_ray.stages.retriever import dedup_contexts
+
+    t = pa.table({
+        "url": ["u"] * 4 + ["u"] * 2,
+        "sent_id": pa.array([0, 0, 0, 0, 1, 1], pa.int32()),
+        "rank": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+        "kb_id": pa.array([10, 11, 12, 13, 10, 11], pa.int64()),
+        "score": pa.array([9.0, 8.0, 7.0, 6.0, 5.0, 4.0], pa.float32()),
+        "kb_sentence": ["a", "b", "a", "c", "x", "x"],
+        "kb_title": ["A", "B", "A", "C", "X", "X"],
+    })
+    df = dedup_contexts(_ray.data.from_arrow(t)).to_pandas()
+    s0 = df[df.sent_id == 0].sort_values("rank")
+    assert s0["kb_sentence"].tolist() == ["a", "b", "c"]  # dup 'a' dropped
+    assert s0["rank"].tolist() == [0, 1, 2]               # re-ranked dense
+    assert s0["few_results"].all()                        # 3 < 6
+    s1 = df[df.sent_id == 1]
+    assert s1["kb_sentence"].tolist() == ["x"]
