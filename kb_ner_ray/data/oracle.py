@@ -24,7 +24,7 @@ import pyarrow as pa
 from ..functions.canon import build_canonical_map
 from ..functions.text import extract_text, normalize_surface, split_sentences
 from ..functions.tokenizer import subtoken_count
-from ..state.bm25 import KBIndex, analyze
+from ..state.bm25 import MultiLangKBIndex, analyze
 from ..state.gazetteer import Gazetteer
 
 CONTEXT_BUDGET = 510  # XLM-R subtoken budget, kb/context_process.py:974
@@ -101,7 +101,7 @@ def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,
     linked mentions/triples tables (plain python -> arrow)."""
     gaz = Gazetteer(gazetteer.to_pylist())
     kb_rows = kb.to_pylist()
-    index = KBIndex(kb_rows) if with_retrieval else None
+    index = MultiLangKBIndex(kb_rows) if with_retrieval else None
     ent_def_tokens: dict[int, set] = {}
     for r in kb_rows:
         if r["s_id"] == 0:
@@ -115,7 +115,7 @@ def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,
             tokens = sent.split()
             sent_rows.append((page["url"], sent_id, sent, page["lang"]))
             if index is not None:
-                hits = index.search(sent, k=TOP_K)
+                hits = index.search(sent, lang=page["lang"], k=TOP_K)
                 for rank, (row_i, score) in enumerate(hits):
                     ctx_rows.append((page["url"], sent_id, rank,
                                      kb_rows[row_i]["kb_id"], score,

@@ -174,3 +174,19 @@ def span_prf(
     r = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     return p, r, f1, tp, fp, fn
+
+
+FOUR_CLASS = {"PER": "PER", "LOC": "LOC", "GRP": "ORG", "CORP": "ORG",
+              "PROD": "MISC", "CW": "MISC"}
+
+
+def remap_to_four_class(tag: str) -> str:
+    """Prediction post-map (reference M20,
+    flair/models/sequence_tagger_model.py:662-691): collapse the 6
+    MultiCoNER types to CoNLL-03's {PER, LOC, ORG, MISC}; non-entity tags
+    pass through as O."""
+    if tag == "O" or "-" not in tag:
+        return "O" if tag == "O" else tag
+    prefix, label = tag.split("-", 1)
+    mapped = FOUR_CLASS.get(label)
+    return f"{prefix}-{mapped}" if mapped else "O"

@@ -52,3 +52,32 @@ def subtoken_count(text: str) -> int:
         if rest == 0 and cjk == 0 and punct == 0:
             count += 1
     return count
+
+
+def pack_by_length(texts: list[str], budget: int = 4096,
+                   max_items: int = 32) -> list[list[int]]:
+    """Token-budget batch packing (reference T5/O1,
+    flair/custom_data_loader.py:84-149): sort indices by subtoken length
+    desc, fill packs while total subtokens <= budget and pack size <=
+    max_items.  Returns packs of ORIGINAL indices; callers restore input
+    order on emit (--keep_order semantics, train.py:45).
+
+    Used inside a scorer actor to sub-batch an Arrow batch for a
+    fixed-budget model forward; the gazetteer stand-in does not need it but
+    a transformer deployment slots it in unchanged.
+    """
+    costs = [subtoken_count(t) for t in texts]
+    order = sorted(range(len(texts)), key=lambda i: (-costs[i], i))
+    packs: list[list[int]] = []
+    cur: list[int] = []
+    cur_cost = 0
+    for i in order:
+        c = costs[i]
+        if cur and (cur_cost + c > budget or len(cur) >= max_items):
+            packs.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(i)
+        cur_cost += c
+    if cur:
+        packs.append(cur)
+    return packs

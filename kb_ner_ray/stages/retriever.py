@@ -20,14 +20,14 @@ import ray
 
 from ..data.oracle import TOP_K, attach_contexts_cached, clean_context
 from ..functions.tokenizer import subtoken_count
-from ..state.bm25 import KBIndex
+from ..state.bm25 import MultiLangKBIndex
 
 
 class _KBActorBase:
     def __init__(self, kb_ref):
         kb_rows = ray.get(kb_ref) if isinstance(kb_ref, ray.ObjectRef) else kb_ref
         self.kb_rows = kb_rows
-        self.index = KBIndex(kb_rows)
+        self.index = MultiLangKBIndex(kb_rows)  # per-language + all view
         # KB side is fixed for the actor's lifetime: hoist the printable
         # filter + subtoken costs out of the per-sentence attach loop
         self.kb_clean = [clean_context(r["sentence"]) for r in kb_rows]
@@ -39,13 +39,17 @@ class Retriever(_KBActorBase):
     kb_id, score, kb_sentence, kb_title); top-10 per query."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = (batch.column("lang").to_pylist()
+                 if "lang" in batch.column_names else [None] * batch.num_rows)
         urls, sids, ranks, kb_ids, scores, ksents, ktitles = [], [], [], [], [], [], []
-        for url, sid, text in zip(
+        for url, sid, text, lang in zip(
             batch.column("url").to_pylist(),
             batch.column("sent_id").to_pylist(),
             batch.column("text").to_pylist(),
+            langs,
         ):
-            for rank, (row_i, score) in enumerate(self.index.search(text, k=TOP_K)):
+            for rank, (row_i, score) in enumerate(
+                    self.index.search(text, lang=lang, k=TOP_K)):
                 r = self.kb_rows[row_i]
                 urls.append(url)
                 sids.append(sid)
@@ -81,18 +85,20 @@ class RetrieveAttach(_KBActorBase):
         memo = getattr(self, "_memo", None)
         if memo is None:
             memo = self._memo = {}
+        langs = (batch.column("lang").to_pylist()
+                 if "lang" in batch.column_names else [None] * batch.num_rows)
         augs, n_ctxs = [], []
-        for text in batch.column("text").to_pylist():
-            res = memo.get(text)
+        for text, lang in zip(batch.column("text").to_pylist(), langs):
+            res = memo.get((text, lang))
             if res is None:
-                hits = self.index.search(text, k=TOP_K)
+                hits = self.index.search(text, lang=lang, k=TOP_K)
                 res = attach_contexts_cached(
                     text,
                     [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits],
                 )
                 if len(memo) >= self.MEMO_CAP:
                     memo.clear()
-                memo[text] = res
+                memo[(text, lang)] = res
             augs.append(res[0])
             n_ctxs.append(res[1])
         return batch.append_column(
@@ -115,15 +121,19 @@ class RetrieverEntity(_KBActorBase):
         self.title_boost = title_boost
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = (batch.column("lang").to_pylist()
+                 if "lang" in batch.column_names else [None] * batch.num_rows)
         urls, sids, ents, ranks, kb_ids, scores = [], [], [], [], [], []
-        for url, sid, text, entities in zip(
+        for url, sid, text, entities, lang in zip(
             batch.column("url").to_pylist(),
             batch.column("sent_id").to_pylist(),
             batch.column("text").to_pylist(),
             batch.column("entities").to_pylist(),
+            langs,
         ):
             for ent in entities or []:
-                hits = self.index.search(text, entity=ent, k=TOP_K,
+                hits = self.index.search(text, lang=lang, entity=ent,
+                                         k=TOP_K,
                                          title_boost=self.title_boost)
                 for rank, (row_i, score) in enumerate(hits):
                     urls.append(url)

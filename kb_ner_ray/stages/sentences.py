@@ -32,3 +32,15 @@ def explode_sentences(batch: pa.Table) -> pa.Table:
             "lang": pa.array(langs, pa.string()),
         }
     )
+
+
+def filter_by_length(sents_ds, max_tokens: int = 510, train: bool = True):
+    """Drop over-long sentences (reference S10/M19:
+    kb/context_process.py:660-672,998 drops >510-token train sentences;
+    dev/test cap is 999; flair clip_sentences is the same seat)."""
+    cap = max_tokens if train else 999
+
+    def keep(row) -> bool:
+        return len(row["text"].split()) <= cap
+
+    return sents_ds.filter(keep)

@@ -176,10 +176,10 @@ class RetrieveTagTriples(_GazActorBase):
         super().__init__(gaz_ref, kb_ref=kb_ref)
         from ..data.oracle import clean_context
         from ..functions.tokenizer import subtoken_count
-        from ..state.bm25 import KBIndex
+        from ..state.bm25 import MultiLangKBIndex
 
         kb_rows = _get(kb_ref)
-        self.index = KBIndex(kb_rows)
+        self.index = MultiLangKBIndex(kb_rows)  # per-language + all view
         self.kb_clean = [clean_context(r["sentence"]) for r in kb_rows]
         self.kb_cost = [subtoken_count(c) for c in self.kb_clean]
         # web corpora are heavily sentence-duplicated (boilerplate, quoted
@@ -187,9 +187,9 @@ class RetrieveTagTriples(_GazActorBase):
         # sentence, so memoize it per actor with a hard cap
         self._memo: dict[str, list] = {}
 
-    def _sentence_triples(self, text: str) -> list:
+    def _sentence_triples(self, text: str, lang: str | None = None) -> list:
         """(subj_surface, subj_ent, pred, obj_surface, obj_ent) tuples."""
-        hits = self.index.search(text, k=TOP_K)
+        hits = self.index.search(text, lang=lang, k=TOP_K)
         aug, _n = attach_contexts_cached(
             text, [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits])
         tokens, spans = self._sentence_mentions(text, aug)
@@ -213,18 +213,21 @@ class RetrieveTagTriples(_GazActorBase):
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = (batch.column("lang").to_pylist()
+                 if "lang" in batch.column_names else [None] * batch.num_rows)
         s_surf, s_ent, preds, o_surf, o_ent, urls, sids = ([], [], [], [], [], [], [])
-        for url, sid, text in zip(
+        for url, sid, text, lang in zip(
             batch.column("url").to_pylist(),
             batch.column("sent_id").to_pylist(),
             batch.column("text").to_pylist(),
+            langs,
         ):
-            res = self._memo.get(text)
+            res = self._memo.get((text, lang))
             if res is None:
-                res = self._sentence_triples(text)
+                res = self._sentence_triples(text, lang)
                 if len(self._memo) >= self.MEMO_CAP:
                     self._memo.clear()
-                self._memo[text] = res
+                self._memo[(text, lang)] = res
             for surf1, ent1, pred, surf2, ent2 in res:
                 s_surf.append(surf1)
                 s_ent.append(ent1)
@@ -306,42 +309,48 @@ def retrieve_tag_triples_shared(batch: pa.Table, kb_ref=None, gaz_ref=None,
         _TASK_STATE[key] = st
     memo = st._memo
     texts = batch.column("text").to_pylist()
+    langs = (batch.column("lang").to_pylist()
+             if "lang" in batch.column_names else [None] * batch.num_rows)
     if shards:
         import zlib
 
         k = len(shards)
-        missing = {t for t in texts if t not in memo}
+        missing = {(t, g) for t, g in zip(texts, langs) if (t, g) not in memo}
         if missing:
             by_shard: list[list] = [[] for _ in range(k)]
-            shard_of = {t: zlib.crc32(t.encode()) % k for t in missing}
-            for t in missing:
-                by_shard[shard_of[t]].append(t)
+            shard_of = {
+                key: zlib.crc32(f"{key[1]}\x00{key[0]}".encode()) % k
+                for key in missing
+            }
+            for key in missing:
+                by_shard[shard_of[key]].append(key)
             futures = [shards[i].get_many.remote(by_shard[i])
                        for i in range(k) if by_shard[i]]
             for res in ray.get(futures):
                 memo.update(res)
             new_by_shard: list[dict] = [{} for _ in range(k)]
-            for t in missing:
-                if t not in memo:
-                    res = st._sentence_triples(t)
-                    memo[t] = res
-                    new_by_shard[shard_of[t]][t] = res
+            for key in missing:
+                if key not in memo:
+                    res = st._sentence_triples(key[0], key[1])
+                    memo[key] = res
+                    new_by_shard[shard_of[key]][key] = res
             for i in range(k):
                 if new_by_shard[i]:
                     shards[i].put_many.remote(new_by_shard[i])
     # all texts now resolvable via the local memo
     s_surf, s_ent, preds, o_surf, o_ent, urls, sids = ([], [], [], [], [], [], [])
-    for url, sid, text in zip(
+    for url, sid, text, lang in zip(
         batch.column("url").to_pylist(),
         batch.column("sent_id").to_pylist(),
         texts,
+        langs,
     ):
-        res = memo.get(text)
+        res = memo.get((text, lang))
         if res is None:
-            res = st._sentence_triples(text)
+            res = st._sentence_triples(text, lang)
             if len(memo) >= st.MEMO_CAP:
                 memo.clear()
-            memo[text] = res
+            memo[(text, lang)] = res
         for surf1, ent1, pred, surf2, ent2 in res:
             s_surf.append(surf1)
             s_ent.append(ent1)

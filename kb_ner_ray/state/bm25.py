@@ -104,3 +104,39 @@ class KBIndex:
         cand = np.argpartition(-scores, k - 1)[: max(k * 4, k)]
         cand = cand[np.lexsort((cand, -scores[cand]))][:k]
         return [(int(i), float(scores[i])) for i in cand if scores[i] > 0.0]
+
+
+class MultiLangKBIndex:
+    """Per-language BM25 indexes + an all-languages view (reference T4:
+    one ES index per language ``{lan}wiki_v1`` selected by query language,
+    wildcard ``*wiki_v1`` for code-mixed input — kb/build_kb.py:14,
+    kb/generate_data.py:21-24).
+
+    ``search`` returns GLOBAL row indices into the full rows list, so
+    callers' per-row caches (clean text, subtoken cost) stay unchanged.
+    """
+
+    def __init__(self, rows: list[dict]):
+        self.rows = rows
+        self.all = KBIndex(rows)
+        self.by_lang: dict[str, tuple[KBIndex, list[int]]] = {}
+        groups: dict[str, list[int]] = {}
+        for i, r in enumerate(rows):
+            groups.setdefault(r.get("lang", "en"), []).append(i)
+        for lang, idxs in groups.items():
+            self.by_lang[lang] = (KBIndex([rows[i] for i in idxs]), idxs)
+
+    def search(self, sentence: str, lang: str | None = None,
+               entity: str | None = None, k: int = 10,
+               title_boost: float = 2.0) -> list[tuple[int, float]]:
+        if lang is None or lang == "all":
+            return self.all.search(sentence, entity=entity, k=k,
+                                   title_boost=title_boost)
+        hit = self.by_lang.get(lang)
+        if hit is None:
+            return []  # no index for this language (reference: missing
+            #            {lan}wiki_v1 index -> no results)
+        sub, idxs = hit
+        return [(idxs[i], s) for i, s in
+                sub.search(sentence, entity=entity, k=k,
+                           title_boost=title_boost)]
