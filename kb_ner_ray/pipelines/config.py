@@ -1,0 +1,190 @@
+"""Typed pipeline configuration + stage registry (reference §2.10 seat:
+YAML config -> pipeline, train.py:81 / flair/config_parser.py:27-234 —
+there, corpora/embeddings/model are resolved by reflection from YAML; here,
+a small explicit registry keyed by stage name builds a Dataset chain).
+
+Example YAML::
+
+    input: /tmp/corpus/pages
+    corpus: /tmp/corpus            # broadcast sides (kb/, gazetteer/)
+    stages:
+      - name: extract
+      - name: explode
+      - name: filter_length
+        params: {max_tokens: 510}
+      - name: triples               # fused retrieve+tag+link+emit
+      - name: canonicalize
+    output: /tmp/out/triples        # optional write_parquet target
+
+Stages are pure functions ``(ds, ctx, **params) -> ds`` where ``ctx``
+carries the broadcast refs; new stages register with ``@register``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class StageConfig:
+    name: str
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    input_path: str
+    corpus: str | None = None
+    stages: list[StageConfig] = field(default_factory=list)
+    output_path: str | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        return cls(
+            input_path=d["input"],
+            corpus=d.get("corpus"),
+            stages=[StageConfig(s["name"], s.get("params", {}))
+                    for s in d.get("stages", [])],
+            output_path=d.get("output"),
+        )
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        import yaml
+
+        with open(path, encoding="utf-8") as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+
+@dataclass
+class PipelineContext:
+    """Broadcast sides, resolved lazily from the corpus directory."""
+
+    corpus: str | None = None
+    _refs: tuple | None = None
+
+    def refs(self):
+        if self._refs is None:
+            from .kg import load_corpus_refs
+
+            assert self.corpus, "stage needs `corpus:` for broadcast sides"
+            self._refs = load_corpus_refs(self.corpus)
+        return self._refs
+
+
+STAGE_REGISTRY: dict = {}
+
+
+def register(name: str):
+    def deco(fn):
+        STAGE_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+@register("extract")
+def _stage_extract(ds, ctx, **_):
+    from ..stages.extract import extract_pages
+
+    return ds.map_batches(extract_pages, batch_format="pyarrow")
+
+
+@register("explode")
+def _stage_explode(ds, ctx, **_):
+    from ..stages.sentences import explode_sentences
+
+    return ds.map_batches(explode_sentences, batch_format="pyarrow")
+
+
+@register("filter_length")
+def _stage_filter_length(ds, ctx, max_tokens: int = 510, train: bool = True):
+    from ..stages.sentences import filter_by_length
+
+    return filter_by_length(ds, max_tokens=max_tokens, train=train)
+
+
+@register("retrieve_attach")
+def _stage_retrieve_attach(ds, ctx, batch_size: int = 512):
+    from ..stages.retriever import retrieve_attach
+
+    kb_ref, _gaz_ref, _ = ctx.refs()
+    return ds.map_batches(retrieve_attach, fn_kwargs={"kb_ref": kb_ref},
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+@register("tag_link")
+def _stage_tag_link(ds, ctx, batch_size: int = 1024):
+    from ..stages.tagger import tag_link
+
+    kb_ref, gaz_ref, _ = ctx.refs()
+    return ds.map_batches(tag_link,
+                          fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+@register("triples")
+def _stage_triples(ds, ctx, batch_size: int = 512):
+    from ..stages.tagger import retrieve_tag_triples_shared
+
+    kb_ref, gaz_ref, _ = ctx.refs()
+    return ds.map_batches(
+        retrieve_tag_triples_shared,
+        fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref, "shards": None},
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+@register("canonicalize")
+def _stage_canonicalize(ds, ctx, **_):
+    import ray
+
+    from ..stages.canonicalize import apply_canonical, compute_canonical_map
+
+    _kb_ref, _gaz_ref, ent_title = ctx.refs()
+    raw = ds.materialize()
+    canon = compute_canonical_map(raw, ent_title)
+    return raw.map_batches(apply_canonical,
+                           fn_kwargs={"canon_ref": ray.put(canon)},
+                           batch_format="pyarrow", batch_size=32768)
+
+
+@register("langid")
+def _stage_langid(ds, ctx, **_):
+    from ..stages.textstats import doc_langid
+
+    return ds.map_batches(doc_langid, batch_format="pyarrow")
+
+
+@register("dedup_exact")
+def _stage_dedup_exact(ds, ctx, **_):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(ds)
+
+
+def build_pipeline(cfg: PipelineConfig):
+    """Config -> lazy Dataset (caller consumes / writes)."""
+    import ray.data as rd
+
+    ctx = PipelineContext(corpus=cfg.corpus)
+    ds = rd.read_parquet(cfg.input_path)
+    for sc in cfg.stages:
+        if sc.name not in STAGE_REGISTRY:
+            raise KeyError(
+                f"unknown stage {sc.name!r}; known: "
+                f"{sorted(STAGE_REGISTRY)}")
+        ds = STAGE_REGISTRY[sc.name](ds, ctx, **sc.params)
+    return ds
+
+
+def run_pipeline(cfg: PipelineConfig) -> int:
+    """Build, optionally write, and return the row count."""
+    ds = build_pipeline(cfg)
+    if cfg.output_path:
+        ds.write_parquet(cfg.output_path)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for f in glob.glob(cfg.output_path + "/*.parquet"))
+    return ds.count()
