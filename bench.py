@@ -129,7 +129,14 @@ def run_oracle() -> dict:
     }
 
 
-SCALING_SF = float(os.environ.get("GRAFT_SCALING_SF", "0.5"))
+# Scaling defaults (see BASELINE.md "Scaling efficiency"): sf=2.0 so compute
+# dominates per-run fixed costs, and the N=4 -> 4N=16 pair — the box has 32
+# cores on ONE memory bus, and a no-Ray control shows a 1.40x per-process
+# slowdown going 8->32 procs (hardware ceiling 0.71); 4->16 is the
+# bandwidth-unconstrained pair and the honest proxy for N->4N *node*
+# scaling where each node adds its own memory bandwidth.  Override with
+# GRAFT_SCALING_CPUS=8,32 / GRAFT_SCALING_SF.
+SCALING_SF = float(os.environ.get("GRAFT_SCALING_SF", "2.0"))
 
 
 def run_headline(ncpu: int, sf: float) -> dict:
@@ -182,7 +189,7 @@ def run_scaling() -> dict:
 
     corpus_dir(SCALING_SF)  # generate/cache before timing subprocesses
     lo, hi = (int(x) for x in
-              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+              os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
 
     def best(ncpu: int) -> dict:
         # min of 2 fresh-process runs — standard noise control; single-run

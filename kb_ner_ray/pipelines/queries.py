@@ -384,6 +384,20 @@ GROUP BY event_type
 """
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """KMV-sketch approximate COUNT(DISTINCT user_id) per event type —
+    deterministic (blake2b), mergeable combiner partials; accuracy pinned
+    by pytest (not SQL-expressible: DuckDB's approx_count_distinct is a
+    different sketch)."""
+    from ..stages.sketch import approx_distinct
+
+    df = approx_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        column="user_id", group_by="event_type", k=1024)
+    df["approx_distinct"] = df["approx_distinct"].round().astype(np.int64)
+    return df.rename(columns={"group": "event_type"})
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event gets the latest o_orderdate <= ts for
     o_custkey = user_id (orders broadcast + np.searchsorted per batch;
@@ -1108,6 +1122,7 @@ def queries_registry():
         "events_sessionize": q_events_sessionize,
         "events_rolling_count": q_events_rolling_count,
         "distinct_users": q_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
         "events_asof_orders": q_events_asof_orders,
         "props_json": q_props_json,
         "doc_token_stats": q_doc_token_stats,

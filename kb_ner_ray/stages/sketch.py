@@ -1,0 +1,89 @@
+"""KMV (k-minimum-values) distinct-count sketch — the approximate-aggregate
+seat the reference lacks (SURVEY.md §2.5 "no sketches anywhere"), added for
+the 100 TB regime where exact COUNT(DISTINCT) would shuffle every key.
+
+A KMV sketch keeps the k smallest 64-bit hashes of the observed values; for
+a full sketch the estimator is (k - 1) / max_kth_hash_fraction.  Sketches
+merge by union+truncate, so the dataflow is the combiner pattern: per-batch
+sketch -> tiny partial stream -> driver merge.  Deterministic (blake2b), no
+RNG.  Standard error ~ 1/sqrt(k-2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+_MAX64 = float(1 << 63)  # hashes are folded into [0, 2^63)
+
+
+def _h64(value: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(),
+        "big") >> 1
+
+
+class KMVSketch:
+    def __init__(self, k: int = 1024, hashes: list[int] | None = None):
+        self.k = k
+        self.hashes: list[int] = sorted(hashes or [])[:k]
+
+    def add_many(self, values) -> None:
+        hs = {_h64(str(v)) for v in values}
+        hs.update(self.hashes)
+        self.hashes = sorted(hs)[: self.k]
+
+    def merge(self, other: "KMVSketch") -> "KMVSketch":
+        return KMVSketch(self.k, sorted(set(self.hashes)
+                                        | set(other.hashes))[: self.k])
+
+    def estimate(self) -> float:
+        n = len(self.hashes)
+        if n < self.k:
+            return float(n)  # saw fewer than k distinct: exact
+        return (self.k - 1) / (self.hashes[-1] / _MAX64)
+
+    def to_arrow(self) -> pa.Table:
+        return pa.table({"h": pa.array(self.hashes, pa.int64())})
+
+
+def kmv_partial(batch: pa.Table, column: str = "", group_by: str | None = None,
+                k: int = 1024) -> pa.Table:
+    """Per-batch KMV partial rows: (group, h) with at most k smallest hashes
+    per group — the combiner; the downstream merge sees O(groups x k) rows
+    per batch regardless of batch size."""
+    if group_by is None:
+        sk = KMVSketch(k)
+        sk.add_many(batch.column(column).to_pylist())
+        return pa.table({
+            "group": pa.array([""] * len(sk.hashes), pa.string()),
+            "h": pa.array(sk.hashes, pa.int64()),
+        })
+    groups: dict[str, KMVSketch] = {}
+    for g, v in zip(batch.column(group_by).to_pylist(),
+                    batch.column(column).to_pylist()):
+        groups.setdefault(str(g), KMVSketch(k)).add_many([v])
+    gs, hs = [], []
+    for g, sk in groups.items():
+        gs.extend([g] * len(sk.hashes))
+        hs.extend(sk.hashes)
+    return pa.table({"group": pa.array(gs, pa.string()),
+                     "h": pa.array(hs, pa.int64())})
+
+
+def approx_distinct(ds, column: str, group_by: str | None = None,
+                    k: int = 1024):
+    """Dataset -> pandas (group, approx_distinct). Combiner partials merged
+    on the driver (O(blocks x groups x k) rows, corpus-independent)."""
+    import pandas as pd
+
+    pdf = ds.map_batches(
+        kmv_partial, fn_kwargs={"column": column, "group_by": group_by,
+                                "k": k},
+        batch_format="pyarrow").to_pandas()
+    rows = []
+    for g, sub in pdf.groupby("group"):
+        sk = KMVSketch(k, sub["h"].tolist())
+        rows.append((g, sk.estimate()))
+    return pd.DataFrame(rows, columns=["group", "approx_distinct"])

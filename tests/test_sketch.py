@@ -1,0 +1,45 @@
+"""KMV sketch: determinism, merge semantics, accuracy bounds."""
+
+import pyarrow as pa
+import ray
+
+from kb_ner_ray.stages.sketch import KMVSketch, approx_distinct
+
+
+def test_exact_below_k():
+    sk = KMVSketch(k=64)
+    sk.add_many([f"v{i}" for i in range(40)])
+    assert sk.estimate() == 40.0
+
+
+def test_merge_equals_union():
+    a, b = KMVSketch(k=128), KMVSketch(k=128)
+    a.add_many([f"x{i}" for i in range(500)])
+    b.add_many([f"x{i}" for i in range(250, 750)])  # overlap 250-499
+    merged = a.merge(b)
+    whole = KMVSketch(k=128)
+    whole.add_many([f"x{i}" for i in range(750)])
+    assert merged.hashes == whole.hashes  # merge == sketch of union
+
+
+def test_accuracy_within_3_sigma():
+    true_n = 20_000
+    sk = KMVSketch(k=1024)
+    sk.add_many([f"item-{i}" for i in range(true_n)])
+    est = sk.estimate()
+    sigma = true_n / (1024 - 2) ** 0.5
+    assert abs(est - true_n) < 3 * sigma
+
+
+def test_distributed_grouped_estimate(ray_session):
+    rows = {"g": [], "v": []}
+    for g, n in (("a", 3000), ("b", 300), ("c", 7)):
+        for i in range(n):
+            rows["g"].append(g)
+            rows["v"].append(f"{g}:{i}")
+    ds = ray.data.from_arrow(pa.table(rows))
+    df = approx_distinct(ds, "v", group_by="g", k=512).set_index("group")
+    assert df.loc["c", "approx_distinct"] == 7.0  # below k: exact
+    for g, n in (("a", 3000), ("b", 300)):
+        err = abs(df.loc[g, "approx_distinct"] - n) / n
+        assert err < 0.2, (g, df.loc[g, "approx_distinct"])
