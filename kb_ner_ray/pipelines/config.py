@@ -37,6 +37,8 @@ class PipelineConfig:
     corpus: str | None = None
     stages: list[StageConfig] = field(default_factory=list)
     output_path: str | None = None
+    resumable: bool = False      # checkpointed per-partition KG run
+    n_partitions: int = 8        # (pipelines/run.py run_resumable)
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":
@@ -46,6 +48,8 @@ class PipelineConfig:
             stages=[StageConfig(s["name"], s.get("params", {}))
                     for s in d.get("stages", [])],
             output_path=d.get("output"),
+            resumable=bool(d.get("resumable", False)),
+            n_partitions=int(d.get("n_partitions", 8)),
         )
 
     @classmethod
@@ -177,7 +181,19 @@ def build_pipeline(cfg: PipelineConfig):
 
 
 def run_pipeline(cfg: PipelineConfig) -> int:
-    """Build, optionally write, and return the row count."""
+    """Build, optionally write, and return the row count.
+
+    ``resumable: true`` routes to the checkpointed per-partition KG run
+    (manifest/lineage, skip-finished-partitions) instead of the stage chain.
+    """
+    if cfg.resumable:
+        from .run import run_resumable
+
+        assert cfg.corpus and cfg.output_path, \
+            "resumable runs need `corpus:` and `output:`"
+        res = run_resumable(cfg.corpus, cfg.output_path,
+                            n_partitions=cfg.n_partitions)
+        return res["n_triples"]
     ds = build_pipeline(cfg)
     if cfg.output_path:
         ds.write_parquet(cfg.output_path)

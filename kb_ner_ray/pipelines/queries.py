@@ -224,6 +224,66 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """3-hop join lineitem -> orders -> customer -> nation as chained
+    BROADCAST lookups (dimension maps composed driver-side into one
+    orderkey->nation dict, so the fact scan does a single hash probe per
+    row), then a combiner rollup."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    c_nat = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_nationkey").to_pylist()))
+    o_nation = {
+        ok: n_name[c_nat[ck]]
+        for ok, ck in zip(orders.column("o_orderkey").to_pylist(),
+                          orders.column("o_custkey").to_pylist())
+    }
+    ref = ray.put(o_nation)
+
+    class JoinNation:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nat = [self.m[k] for k in t["l_orderkey"].to_pylist()]
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"n_name": pa.array(nat, pa.string()),
+                             "revenue": rev}).group_by("n_name").aggregate(
+                [("revenue", "sum"), ("revenue", "count")])
+
+    pdf = (_read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
+           .map_batches(JoinNation, batch_format="pyarrow",
+                        concurrency=(1, 4))
+           .to_pandas())
+    df = pdf.groupby("n_name", as_index=False).agg(
+        {"revenue_sum": "sum", "revenue_count": "sum"})
+    df["revenue"] = _cents(df["revenue_sum"])
+    df["n_items"] = df["revenue_count"].astype(np.int64)
+    return df[["n_name", "n_items", "revenue"]]
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name, count(*) AS n_items,
+       CAST(FLOOR(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+            AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q_part_filter_topk(sf_dir: str):
     """Filter pushdown at the parquet read + global sort/limit."""
     ds = rd.read_parquet(
@@ -1117,6 +1177,7 @@ def queries_registry():
         "top_orders": q_top_orders,
         "customer_rollup": q_customer_rollup,
         "orders_lineitem_join": q_orders_lineitem_join,
+        "revenue_by_nation": q_revenue_by_nation,
         "part_filter_topk": q_part_filter_topk,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1163,6 +1224,7 @@ def oracle_registry():
         "top_orders": SQL_TOP_ORDERS,
         "customer_rollup": SQL_CUSTOMER_ROLLUP,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "part_filter_topk": SQL_PART_TOPK,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_SESSIONIZE,
