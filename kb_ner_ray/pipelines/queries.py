@@ -11,7 +11,6 @@ SQL aliases exactly (driver compares by sorted column name).
 from __future__ import annotations
 
 import json
-import math
 
 import numpy as np
 import pandas as pd
