@@ -25,9 +25,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # benched queries beyond the headline (name -> callable via queries registry)
 SIDE_QUERIES = [
     "pricing_summary",
+    "revenue_by_nation",
     "events_sessionize",
+    "events_rolling_count",
     "doc_token_stats",
     "minhash_dedup",
+    "ngram_jaccard",
     "knn_bruteforce",
     "kg_mentions",
 ]

@@ -5,19 +5,23 @@ Dataflow (one streaming pass, ZERO shuffles — the canonicalization combine
 is vocabulary-sized and finishes on the driver):
 
     read_parquet(pages, columns pruned)
-      -> map_batches(extract_pages)              stateless, drops html
-      -> map_batches(explode_sentences)          stateless flat-map
-      -> map_batches(RetrieveTagTriples, actors) FUSED retrieve+attach+tag+
-                                                 link+triple-emit; KB and
-                                                 gazetteer broadcast; memoized
-                                                 over duplicate sentences
+      -> map_batches(extract_pages)             stateless, drops html
+      -> map_batches(explode_sentences)         stateless flat-map
+      -> map_batches(retrieve_tag_triples_...)  FUSED retrieve+attach+tag+
+                                                link+triple-emit as plain
+                                                tasks with worker-local
+                                                cached state; KB/gazetteer
+                                                broadcast; memoized over
+                                                duplicate (text, lang)
       -> [materialize raw triples — output-sized, consumed twice]
       -> canonicalize (per-batch partial counts -> driver combine -> map)
-      -> map_batches(apply_canonical)            plain tasks, broadcast dict
+      -> map_batches(apply_canonical)           plain tasks, broadcast dict
 
-The KB/gazetteer are ``ray.put`` ONCE and read per actor in ``__init__``
-(broadcast join, never re-shipped per batch).  The unfused staged variant
-(RetrieveAttach | TagLink*) backs the kg_contexts / kg_mentions queries.
+The KB/gazetteer are ``ray.put`` ONCE per corpus per driver session and
+resolved once per worker (broadcast join, never re-shipped per batch).
+A GPU deployment swaps the task fn for the RetrieveTagTriples actor pool
+(same dataflow, explicit pool sizing + num_gpus).  The unfused staged
+variant (retrieve_attach | tag_link) backs kg_contexts / kg_mentions.
 """
 
 from __future__ import annotations

@@ -2,13 +2,19 @@
 
 Five flavours (each a queries() entry):
 
-* exact            — content-hash groupby, keep min doc_id (shuffle on the
-                     16-byte hash, never on the text);
+* exact            — content-hash groupby on 32 salt buckets, keep min
+                     doc_id (shuffle on fixed-width keys, never the text);
 * minhash_lsh      — word-shingle MinHash -> banded LSH buckets -> candidate
                      pairs -> exact-Jaccard verification;
 * simhash          — 64-bit SimHash + 4-band blocking, Hamming<=3 pairs;
-* ngram_jaccard    — verified n-gram Jaccard similarity for candidate pairs;
+* ngram_jaccard    — length-blocked character-set Jaccard (DuckDB jaccard()
+                     semantics -> exact SQL oracle);
 * embedding cosine — see stages/similarity.py (near_dup_pairs).
+
+Grouping is always on COARSE keys (band id, salt bucket, token count):
+per-group pandas dispatch costs ~0.1 ms, so grouping on |corpus|-cardinality
+bucket hashes would dominate the hashing itself; bucket collisions are
+resolved vectorized inside each coarse group.
 
 Scale notes (100 TB): the only all-to-all exchanges are on FIXED-WIDTH keys
 (hash / band bucket / simhash band), with per-batch pre-aggregation where
