@@ -37,10 +37,14 @@ def explode_sentences(batch: pa.Table) -> pa.Table:
 def filter_by_length(sents_ds, max_tokens: int = 510, train: bool = True):
     """Drop over-long sentences (reference S10/M19:
     kb/context_process.py:660-672,998 drops >510-token train sentences;
-    dev/test cap is 999; flair clip_sentences is the same seat)."""
+    dev/test cap is 999; flair clip_sentences is the same seat).
+
+    Vectorized map_batches mask — ``ds.filter(row_fn)`` is per-row Python
+    and has no place in a hot stage."""
     cap = max_tokens if train else 999
 
-    def keep(row) -> bool:
-        return len(row["text"].split()) <= cap
+    def keep(t: pa.Table) -> pa.Table:
+        mask = [len(x.split()) <= cap for x in t.column("text").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
 
-    return sents_ds.filter(keep)
+    return sents_ds.map_batches(keep, batch_format="pyarrow")
