@@ -2,6 +2,11 @@
 
 Five flavours (each a queries() entry):
 
+(MinHash/LSH per Broder 1997 "On the resemblance and containment of
+documents" and the banding analysis in Leskovec/Rajaraman/Ullman, MMDS ch.3;
+SimHash per Charikar 2002 "Similarity estimation techniques from rounding
+algorithms".)
+
 * exact            — content-hash groupby on 32 salt buckets, keep min
                      doc_id (shuffle on fixed-width keys, never the text);
 * minhash_lsh      — word-shingle MinHash -> banded LSH buckets -> candidate

@@ -6,7 +6,8 @@ A KMV sketch keeps the k smallest 64-bit hashes of the observed values; for
 a full sketch the estimator is (k - 1) / max_kth_hash_fraction.  Sketches
 merge by union+truncate, so the dataflow is the combiner pattern: per-batch
 sketch -> tiny partial stream -> driver merge.  Deterministic (blake2b), no
-RNG.  Standard error ~ 1/sqrt(k-2).
+RNG.  Standard error ~ 1/sqrt(k-2) (KMV estimator per Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream"; see also Beyer et al. 2007).
 """
 
 from __future__ import annotations
