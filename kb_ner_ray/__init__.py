@@ -10,9 +10,12 @@ zero-copy Arrow batches with actor pools for stateful stages.
 Layout:
   functions/  pure, unit-tested kernels (span codec, normalizers, tokenizer)
   data/       deterministic synthetic corpus + KB generators, Arrow schemas
-  stages/     map_batches stage implementations (stateless fns + actor classes)
+  sources/    golden-fixture codecs (CoNLL column format)
+  stages/     map_batches stage implementations (plain task fns with
+              worker-local cached state by default; actor-pool classes for
+              GPU-style deployments)
   state/      broadcastable state (BM25 index, gazetteer, union-find, manifest)
-  pipelines/  end-to-end composition (pages → triples)
+  pipelines/  end-to-end composition (pages → triples), config/CLI, queries
 """
 
 __version__ = "0.1.0"

@@ -1064,6 +1064,89 @@ def q_kg_triples(sf_dir: str):
     return kg_triples(_corpus(sf_dir))
 
 
+QUALITY_MIN_BP = 5000  # keep docs with quality >= 0.5
+
+
+def q_corpus_prep(sf_dir: str):
+    """Composite training-data prep pipeline — the operators CHAINED the
+    way a real corpus build runs them: exact dedup (keep min doc_id per
+    content hash) -> quality filter (quality_bp >= 5000, same floor
+    rounding both sides) -> deterministic split assignment -> per-split
+    counts.  Every stage is individually exact-oracled; the composition is
+    too.  (The language-ID gate stays out of this composition: the n-gram
+    heuristic is not SQL-expressible — see doc_langid, rows-only.)"""
+    from ..stages.textstats import doc_quality as quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # stage 1: exact dedup — broadcast the set of surviving doc_ids
+    from ..stages.dedup import exact_dedup
+
+    keep_ids = ray.put(set(
+        exact_dedup(ds).to_pandas()["doc_id"].astype(int).tolist()))
+
+    class Survivors:
+        def __init__(self):
+            self.keep = ray.get(keep_ids)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [int(d) in self.keep for d in t["doc_id"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    # stages 2-3 fused in one vectorized pass: quality gate + split counts
+    def prep(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)  # (doc_id, quality)
+        q_bp = _cents(q["quality"], 10000)  # _cents np.asarray's the column
+        t = t.filter(pa.array(q_bp >= QUALITY_MIN_BP, pa.bool_()))
+        mod = [int(d) % 10 for d in t["doc_id"].to_pylist()]
+        split = ["train" if x < 8 else ("dev" if x == 8 else "test")
+                 for x in mod]
+        return pa.table({"split": pa.array(split, pa.string())}).group_by(
+            "split").aggregate([("split", "count")])
+
+    pdf = (ds.map_batches(Survivors, batch_format="pyarrow",
+                          concurrency=(1, 4))
+           .map_batches(prep, batch_format="pyarrow")
+           .to_pandas())
+    df = pdf.groupby("split", as_index=False).agg(
+        n_docs=("split_count", "sum"))
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df
+
+
+SQL_CORPUS_PREP = """
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN dedup k ON d.doc_id = k.doc_id
+), scored AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9_ \t\n]', '', 'g')) AS punct_cnt,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             w -> list_contains(['the','and','of','a','to','in','is','it','for','on'], w)))
+             AS stopword_cnt
+  FROM surv
+), quality AS (
+  SELECT doc_id,
+         CAST(FLOOR(ROUND(
+           0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * LEAST(1.0, 4.0 * stopword_cnt / GREATEST(1, n_tokens))
+           + 0.3 * (1.0 - LEAST(1.0, 5.0 * punct_cnt / GREATEST(1, n_chars)))
+         , 6) * 10000 + 0.5) AS BIGINT) AS quality_bp
+  FROM scored
+)
+SELECT CASE WHEN s.doc_id % 10 < 8 THEN 'train'
+            WHEN s.doc_id % 10 = 8 THEN 'dev' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM surv s JOIN quality q ON s.doc_id = q.doc_id
+WHERE q.quality_bp >= 5000
+GROUP BY 1
+"""
+
+
 def q_doc_splits(sf_dir: str):
     """Deterministic train/dev/test assignment (reference O5 seat,
     tools/split.py 80/10/10): modulo split on the stable doc key — hash/mod
@@ -1090,15 +1173,26 @@ FROM documents
 def q_kg_span_metric(sf_dir: str):
     """Distributed span P/R/F1 (A2): the staged mentions output evaluated
     against the oracle's mentions via per-batch partial TP/FP counts."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from ..data.oracle import run_oracle
     from ..pipelines.kg import _read_table_dir
     from ..stages.metrics import span_prf_distributed
 
     corpus = _corpus(sf_dir)
-    pages = _read_table_dir(corpus + "/pages")
-    kb = _read_table_dir(corpus + "/kb")
-    gaz = _read_table_dir(corpus + "/gazetteer")
-    gold = run_oracle(pages, kb, gaz)["mentions"].to_pylist()
+    cache = os.path.join(corpus, "oracle_mentions.parquet")
+    if os.path.exists(cache):
+        gold = pq.read_table(cache).to_pylist()
+    else:
+        pages = _read_table_dir(corpus + "/pages")
+        kb = _read_table_dir(corpus + "/kb")
+        gaz = _read_table_dir(corpus + "/gazetteer")
+        gold_t = run_oracle(pages, kb, gaz)["mentions"]
+        pq.write_table(gold_t, cache + ".tmp")
+        os.replace(cache + ".tmp", cache)  # oracle is deterministic per corpus
+        gold = gold_t.to_pylist()
     df = span_prf_distributed(q_kg_mentions(sf_dir), gold)
     df = df.sort_values("label").reset_index(drop=True)
     for c in ("precision", "recall", "f1"):
@@ -1203,6 +1297,7 @@ def queries_registry():
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
+        "corpus_prep": q_corpus_prep,
         "doc_splits": q_doc_splits,
         "kg_span_metric": q_kg_span_metric,
         "kg_extract_docs": q_kg_extract_docs,
@@ -1245,6 +1340,7 @@ def oracle_registry():
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,
         # doc_langid, minhash_dedup, simhash_dedup, ivf_knn and the kg_*
