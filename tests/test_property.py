@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the pure kernels — the span codec
+is where P/R conformance lives or dies (SURVEY.md §7 hard part (a))."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kb_ner_ray.functions.spans import (
+    bio_to_bioes,
+    bioes_to_bio,
+    decode_bioes,
+    spans_to_bio,
+    spans_to_bioes,
+)
+from kb_ner_ray.functions.tokenizer import pack_by_length, subtoken_count
+from kb_ner_ray.stages.dedup import charset_jaccard
+from kb_ner_ray.stages.sketch import KMVSketch
+
+LABELS = ("PER", "LOC", "GRP", "CORP", "PROD", "CW")
+
+
+@st.composite
+def non_overlapping_spans(draw):
+    """(n_tokens, sorted non-overlapping spans with gaps allowed)."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    spans = []
+    pos = 0
+    while pos < n:
+        start = draw(st.integers(min_value=pos, max_value=n))
+        if start >= n:
+            break
+        end = draw(st.integers(min_value=start + 1,
+                               max_value=min(n, start + 6)))
+        spans.append((start, end, draw(st.sampled_from(LABELS))))
+        pos = end
+        if draw(st.booleans()):
+            break
+    return n, spans
+
+
+@given(non_overlapping_spans())
+@settings(max_examples=200, deadline=None)
+def test_span_codec_round_trip(case):
+    """spans -> BIO(ES) tags -> decode == spans, for both schemes."""
+    n, spans = case
+    for render in (spans_to_bio, spans_to_bioes):
+        tags = render(spans, n)
+        decoded = [(s, e, lab) for s, e, lab, _score in decode_bioes(tags)]
+        assert decoded == spans, (render.__name__, tags)
+
+
+@given(non_overlapping_spans())
+@settings(max_examples=200, deadline=None)
+def test_bio_bioes_round_trip(case):
+    n, spans = case
+    bio = spans_to_bio(spans, n)
+    assert bioes_to_bio(bio_to_bioes(bio)) == bio
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=30),
+                max_size=20),
+       st.integers(min_value=8, max_value=200))
+@settings(max_examples=100, deadline=None)
+def test_pack_by_length_partition_property(texts, budget):
+    """Packs are a partition of the input indices; multi-item packs obey
+    the budget (a single over-budget item gets its own pack)."""
+    packs = pack_by_length(texts, budget=budget, max_items=4)
+    flat = sorted(i for p in packs for i in p)
+    assert flat == list(range(len(texts)))
+    for p in packs:
+        assert 1 <= len(p) <= 4
+        if len(p) > 1:
+            assert sum(subtoken_count(texts[i]) for i in p) <= budget
+
+
+@given(st.text(max_size=50), st.text(max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_charset_jaccard_bounds_and_symmetry(a, b):
+    j = charset_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == charset_jaccard(b, a)
+    assert charset_jaccard(a, a) == 1.0
+
+
+@given(st.lists(st.text(min_size=1, max_size=10), min_size=0, max_size=300),
+       st.lists(st.text(min_size=1, max_size=10), min_size=0, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_kmv_merge_commutative_and_union(xs, ys):
+    a, b = KMVSketch(k=64), KMVSketch(k=64)
+    a.add_many(xs)
+    b.add_many(ys)
+    m1, m2 = a.merge(b), b.merge(a)
+    assert m1.hashes == m2.hashes
+    whole = KMVSketch(k=64)
+    whole.add_many(xs + ys)
+    assert m1.hashes == whole.hashes
