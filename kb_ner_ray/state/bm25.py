@@ -34,7 +34,17 @@ def analyze(text: str) -> list[str]:
 
 
 class BM25Field:
-    """One searchable field: inverted index + per-doc lengths."""
+    """One searchable field: inverted index + per-doc lengths.
+
+    When the doc count is small enough (the KB is the broadcast SMALL side,
+    bounded by entity vocabulary) a dense per-term contribution matrix is
+    precomputed: score(query) = sum over query-term occurrences of
+    ``contrib[term]`` — one fancy-index + sum per query instead of a Python
+    loop over terms.  Above ``DENSE_MAX_CELLS`` the classic postings loop
+    is used (real multi-million-row KBs).
+    """
+
+    DENSE_MAX_CELLS = 50_000_000  # vocab x docs cells (~200 MB float32 cap)
 
     def __init__(self, docs: list[str], k1: float = 1.2, b: float = 0.75):
         self.k1, self.b = k1, b
@@ -56,10 +66,29 @@ class BM25Field:
             df = len(tfmap)
             idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
             self.index[term] = (ids, tfs, idf)
+        # dense fast path
+        self.term_row: dict[str, int] | None = None
+        self.contrib: np.ndarray | None = None
+        n_cells = len(self.index) * max(self.n_docs, 1)
+        if self.n_docs and n_cells <= self.DENSE_MAX_CELLS:
+            self.term_row = {}
+            self.contrib = np.zeros((len(self.index), self.n_docs),
+                                    dtype=np.float32)
+            k1, b = self.k1, self.b
+            for row, (term, (ids, tfs, idf)) in enumerate(self.index.items()):
+                self.term_row[term] = row
+                norm = k1 * (1.0 - b + b * self.lengths[ids] / self.avgdl)
+                self.contrib[row, ids] = idf * (tfs * (k1 + 1.0)) / (tfs + norm)
 
     def score_into(self, query: str, scores: np.ndarray, boost: float = 1.0) -> None:
         """Accumulate BM25 scores for ``query`` into the dense ``scores`` vec."""
         if not self.n_docs:
+            return
+        if self.term_row is not None:
+            rows = [self.term_row[t] for t in analyze(query)
+                    if t in self.term_row]
+            if rows:
+                scores += boost * self.contrib[rows].sum(axis=0)
             return
         k1, b = self.k1, self.b
         for term in analyze(query):
