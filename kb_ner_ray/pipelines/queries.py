@@ -223,6 +223,37 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_orders_lineitem_bucketed(sf_dir: str):
+    """Same result as orders_lineitem_join but via the GENERIC bucketed
+    hash join (stages/joins.py) — the documented fallback when neither side
+    fits in a broadcast.  One all-to-all on hash(l_orderkey) % 32."""
+    from ..stages.joins import hash_join
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = (_read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority"])
+              .map_batches(lambda t: t.rename_columns(
+                  ["l_orderkey", "o_orderpriority"]),
+                  batch_format="pyarrow"))
+    joined = hash_join(lineitem, orders, on="l_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "revenue": rev}).group_by(
+            "o_orderpriority").aggregate(
+            [("revenue", "sum"), ("revenue", "count")])
+
+    pdf = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = pdf.groupby("o_orderpriority", as_index=False).agg(
+        {"revenue_sum": "sum", "revenue_count": "sum"})
+    df["revenue"] = _cents(df["revenue_sum"])
+    df["n_items"] = df["revenue_count"].astype(np.int64)
+    return df[["o_orderpriority", "n_items", "revenue"]]
+
+
 def q_revenue_by_nation(sf_dir: str):
     """3-hop join lineitem -> orders -> customer -> nation as chained
     BROADCAST lookups (dimension maps composed driver-side into one
@@ -1270,6 +1301,7 @@ def queries_registry():
         "top_orders": q_top_orders,
         "customer_rollup": q_customer_rollup,
         "orders_lineitem_join": q_orders_lineitem_join,
+        "orders_lineitem_bucketed": q_orders_lineitem_bucketed,
         "revenue_by_nation": q_revenue_by_nation,
         "part_filter_topk": q_part_filter_topk,
         "events_hourly": q_events_hourly,
@@ -1318,6 +1350,7 @@ def oracle_registry():
         "top_orders": SQL_TOP_ORDERS,
         "customer_rollup": SQL_CUSTOMER_ROLLUP,
         "orders_lineitem_join": SQL_ORDERS_LINEITEM,
+        "orders_lineitem_bucketed": SQL_ORDERS_LINEITEM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "part_filter_topk": SQL_PART_TOPK,
         "events_hourly": SQL_EVENTS_HOURLY,

@@ -169,3 +169,34 @@ def test_dedup_contexts_a6(tiny_corpus, ray_session):
     assert s0["few_results"].all()                        # 3 < 6
     s1 = df[df.sent_id == 1]
     assert s1["kb_sentence"].tolist() == ["x"]
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray as _ray
+
+    from kb_ner_ray.stages.joins import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+                     "lv": ["a", "b", "c", "d", "e"]})
+    right = pa.table({"k": pa.array([2, 3, 3, 4], pa.int64()),
+                      "rv": pa.array([20, 30, 31, 40], pa.int64())})
+    got = hash_join(_ray.data.from_arrow(left), _ray.data.from_arrow(right),
+                    on="k", n_buckets=4).to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    key = ["k", "lv", "rv"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_join_rejects_column_collision(ray_session):
+    import ray as _ray
+
+    import pytest as _pytest
+
+    from kb_ner_ray.stages.joins import hash_join
+
+    t = pa.table({"k": pa.array([1], pa.int64()), "v": ["x"]})
+    with _pytest.raises(ValueError, match="collision"):
+        hash_join(_ray.data.from_arrow(t), _ray.data.from_arrow(t), on="k")
