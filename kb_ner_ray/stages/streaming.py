@@ -1,0 +1,89 @@
+"""Incremental (stream-shaped) sessionization with stateful actors.
+
+Ray Data has no event-time windows/watermarks; for stream-shaped inputs the
+engine treats the events table as an ordered, partitioned log and keeps
+incremental state in ONE actor PER KEY-HASH BUCKET fed batches in ts order
+(the SURVEY.md §2 custom-operator option (c): raw actors only where the
+Dataset API can't express the semantics).  The batch equivalent
+(groupby(user).map_groups, queries.q_events_sessionize) produces identical
+sessions — pinned by test — so callers choose by input shape: bounded table
+-> groupby; unbounded/ordered feed -> this.
+
+Ordering assumption (stated per SURVEY.md §2.9): batches must arrive in
+non-decreasing ``ts`` order per user; the driver feeds a ts-sorted stream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray
+
+SESSION_GAP_MIN = 30
+
+
+@ray.remote(num_cpus=0)
+class SessionBucket:
+    """Incremental per-user session state for one key-hash bucket."""
+
+    def __init__(self, gap_min: int = SESSION_GAP_MIN):
+        self.gap = pd.Timedelta(minutes=gap_min)
+        # user_id -> [session_id, n_events, start_ts, end_ts]
+        self.open: dict[int, list] = {}
+        self.closed: list[tuple] = []
+
+    def feed(self, users: list[int], tss: list) -> int:
+        """Consume a ts-ordered slice of events for this bucket's users."""
+        for uid, ts in zip(users, tss):
+            ts = pd.Timestamp(ts)
+            st = self.open.get(uid)
+            if st is None:
+                self.open[uid] = [1, 1, ts, ts]
+            elif ts - st[3] > self.gap:
+                self.closed.append((uid, st[0], st[1], st[2], st[3]))
+                self.open[uid] = [st[0] + 1, 1, ts, ts]
+            else:
+                st[1] += 1
+                st[3] = ts
+        return len(users)
+
+    def flush(self) -> list[tuple]:
+        """Close all open sessions and return every session seen."""
+        out = list(self.closed)
+        for uid, st in self.open.items():
+            out.append((uid, st[0], st[1], st[2], st[3]))
+        self.closed = []
+        self.open = {}
+        return out
+
+
+def sessionize_stream(events_ds, n_buckets: int = 8,
+                      gap_min: int = SESSION_GAP_MIN) -> pd.DataFrame:
+    """Consume a ts-sorted events Dataset through the bucket actors.
+
+    The sort is the "ordered log" contract; a real feed arrives ordered.
+    Events are routed by user_id %% n_buckets; each bucket actor sees its
+    users' events in global ts order, so per-user order holds.
+    """
+    actors = [SessionBucket.remote(gap_min) for _ in range(n_buckets)]
+    stream = events_ds.sort("ts").iter_batches(batch_size=4096,
+                                               batch_format="pandas")
+    pending = []
+    for batch in stream:
+        b = batch["user_id"].astype(int) % n_buckets
+        for i in range(n_buckets):
+            sub = batch[b == i]
+            if len(sub):
+                pending.append(actors[i].feed.remote(
+                    sub["user_id"].astype(int).tolist(),
+                    sub["ts"].tolist()))
+        if len(pending) > 4 * n_buckets:   # bounded in-flight backpressure
+            ray.wait(pending, num_returns=len(pending) - 2 * n_buckets)
+            pending = pending[-2 * n_buckets:]
+    ray.get(pending)
+    rows: list[tuple] = []
+    for res in ray.get([a.flush.remote() for a in actors]):
+        rows.extend(res)
+    for a in actors:
+        ray.kill(a)
+    return pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
+                                       "start_ts", "end_ts"])

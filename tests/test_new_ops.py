@@ -200,3 +200,30 @@ def test_hash_join_rejects_column_collision(ray_session):
     t = pa.table({"k": pa.array([1], pa.int64()), "v": ["x"]})
     with _pytest.raises(ValueError, match="collision"):
         hash_join(_ray.data.from_arrow(t), _ray.data.from_arrow(t), on="k")
+
+
+def test_stream_sessionize_matches_batch(ray_session):
+    """Incremental actor-bucket sessionizer == batch groupby sessionizer."""
+    import pandas as pd
+    import ray as _ray
+
+    from kb_ner_ray.pipelines.queries import q_events_sessionize
+    from kb_ner_ray.stages.streaming import sessionize_stream
+
+    sf = "/root/testdata/sf0.001"
+    batch_df = q_events_sessionize(sf).to_pandas()
+    stream_df = sessionize_stream(
+        _ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["user_id", "event_id", "ts"]),
+        n_buckets=4)
+    key = ["user_id", "session_id"]
+    cols = key + ["n_events", "start_ts", "end_ts"]
+    a = batch_df[cols].sort_values(key).reset_index(drop=True)
+    b = stream_df[cols].sort_values(key).reset_index(drop=True)
+    a["n_events"] = a["n_events"].astype(int)
+    b["n_events"] = b["n_events"].astype(int)
+    b["start_ts"] = pd.to_datetime(b["start_ts"])
+    b["end_ts"] = pd.to_datetime(b["end_ts"])
+    a["session_id"] = a["session_id"].astype(int)
+    b["session_id"] = b["session_id"].astype(int)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
