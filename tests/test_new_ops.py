@@ -227,3 +227,32 @@ def test_stream_sessionize_matches_batch(ray_session):
     a["session_id"] = a["session_id"].astype(int)
     b["session_id"] = b["session_id"].astype(int)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_salted_grouped_sum_hot_key(ray_session):
+    """Salted two-phase sum == plain sum, with one key owning 50% of rows."""
+    import numpy as np
+    import ray as _ray
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    keys = np.where(rng.rand(n) < 0.5, "hot.example.com",
+                    np.char.add("site", rng.randint(0, 50, n).astype(str)))
+    vals = rng.randint(0, 100, n)
+    t = pa.table({"domain": pa.array(keys.tolist(), pa.string()),
+                  "v": pa.array(vals.tolist(), pa.int64())})
+    from kb_ner_ray.stages.skew import hot_key_fractions, salted_grouped_sum
+
+    got = (salted_grouped_sum(_ray.data.from_arrow(t), "domain", "v",
+                              n_salts=8)
+           .to_pandas().sort_values("domain").reset_index(drop=True))
+    import pandas as pd
+
+    want = (t.to_pandas().groupby("domain", as_index=False)["v"].sum()
+            .rename(columns={"v": "sum"})
+            .sort_values("domain").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    frac = hot_key_fractions(_ray.data.from_arrow(t), "domain", top=1)
+    assert frac.iloc[0]["domain"] == "hot.example.com"
+    assert frac.iloc[0]["fraction"] > 0.4
