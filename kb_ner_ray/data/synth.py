@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from ..functions.text import normalize_surface
 
-SCHEMA_VERSION = 5  # bump to invalidate /tmp caches
+SCHEMA_VERSION = 7  # bump to invalidate /tmp caches
 
 MONTHS = ["January", "February", "March", "April", "May", "June", "July",
           "August", "September", "October", "November", "December"]
@@ -82,6 +82,23 @@ ZH_FILLERS = [
     "委员会将于下个月再次开会。",
 ]
 
+# zh entities (space-delimited token convention like the reference's
+# pre-tokenized CoNLL inputs; the CJK normalizers in functions/text.py
+# handle the unsegmented forms).  Small fixed set — the zh KB index is the
+# per-language-index probe (kb/build_kb.py:14), not a volume target.
+ZH_ENTITIES = [
+    ("PER", "王小明"), ("PER", "李华"), ("PER", "张伟"),
+    ("LOC", "北港市"), ("LOC", "南湖镇"),
+    ("CORP", "宏远科技"), ("CORP", "蓝山集团"),
+]
+ZH_TYPE_DESC = {"PER": "知名 人士", "LOC": "滨海 城市", "CORP": "科技 公司"}
+# (pre, t1, mid, t2, post) — pred = "_".join(alpha mid), like the en path
+ZH_TEMPLATES2 = [
+    ([], "PER", ["访问", "了"], "LOC", ["。"]),
+    ([], "PER", ["就职", "于"], "CORP", ["。"]),
+    ([], "CORP", ["位于"], "LOC", ["。"]),
+]
+
 # Two-slot templates: (pre-tokens, slot1 type, mid-tokens, slot2 type,
 # post-tokens, predicate). The predicate equals "_".join(alpha mid-tokens)
 # by construction, so the extraction rule recovers it.
@@ -125,6 +142,7 @@ class Entity:
     title: str
     aliases: list[str] = field(default_factory=list)
     in_kb: bool = True
+    lang: str = "en"
 
     @property
     def surfaces(self) -> list[str]:
@@ -175,6 +193,9 @@ def _make_entities(rng: random.Random, n_per_type: int) -> list[Entity]:
         if rng.random() < 0.08:
             e.in_kb = False
         out.append(e)
+    # fixed zh entity set (per-language KB index probe), always in-KB
+    for etype, title in ZH_ENTITIES:
+        out.append(Entity(len(out), etype, title, [], True, lang="zh"))
     return out
 
 
@@ -199,10 +220,36 @@ def generate_corpus(n_pages: int, seed: int = 42, n_entities_per_type: int = 40)
     ents = _make_entities(rng, n_entities_per_type)
     kb_ents = [e for e in ents if e.in_kb]
 
-    # --- KB table (2-4 sentences per in-KB entity) ---------------------------
+    # --- KB table (2-4 sentences per in-KB entity; lang-scoped) -------------
     kb_rows = []
     kb_id = 0
     for e in kb_ents:
+        if e.lang == "zh":
+            others = [z for z in kb_ents if z.lang == "zh"
+                      and z.ent_id != e.ent_id]
+            other = rng.choice(others)
+            zh_sents = [
+                f"{e.title} 是 一家 {ZH_TYPE_DESC[e.etype]} 。"
+                if e.etype == "CORP" else
+                f"{e.title} 是 {ZH_TYPE_DESC[e.etype]} 。",
+                f"近期 报道 中 {e.title} 与 {other.title} 一同 出现 。",
+            ]
+            for s_id, sent in enumerate(zh_sents):
+                start = sent.index(e.title)
+                kb_rows.append({
+                    "kb_id": kb_id, "ent_id": e.ent_id, "lang": "zh",
+                    "title": e.title, "p_id": 0, "s_id": s_id,
+                    "sentence": sent,
+                    "paragraph": sent.replace(
+                        e.title, f"<e:{e.title}>{e.title}</e>", 1),
+                    "anchors": [{"start": start,
+                                 "end": start + len(e.title),
+                                 "mention": e.title, "entity": e.title}],
+                    "url": ("https://zh.wikipedia.org/wiki/"
+                            f"{e.title}"),
+                })
+                kb_id += 1
+            continue
         n_sent = rng.randint(2, 4)
         for s_id in range(n_sent):
             if s_id == 0:
@@ -234,8 +281,10 @@ def generate_corpus(n_pages: int, seed: int = 42, n_entities_per_type: int = 40)
     pages, g_sent, g_ment, g_link, g_trip = [], [], [], [], []
     base_ts = 1700000000_000000  # fixed epoch micros; no wall clock
     ent_by_type: dict[str, list[Entity]] = {}
+    zh_by_type: dict[str, list[Entity]] = {}
     for e in ents:
-        ent_by_type.setdefault(e.etype, []).append(e)
+        (zh_by_type if e.lang == "zh" else ent_by_type).setdefault(
+            e.etype, []).append(e)
 
     for page_i in range(n_pages):
         if rng.random() < 0.2:
@@ -244,7 +293,7 @@ def generate_corpus(n_pages: int, seed: int = 42, n_entities_per_type: int = 40)
             domain = f"site{rng.randint(0, max(10, n_pages // 10))}.example.com"
         url = f"https://{domain}/articles/{page_i:07d}"
         lang = "zh" if rng.random() < 0.04 else "en"
-        is_giant = rng.random() < 0.01
+        is_giant = page_i % 100 == 7  # deterministic 1% giant-page skew probe
         n_sent = rng.randint(110, 160) if is_giant else rng.randint(4, 12)
 
         def vary(post: list[str]) -> list[str]:
@@ -267,9 +316,27 @@ def generate_corpus(n_pages: int, seed: int = 42, n_entities_per_type: int = 40)
         page_tokens: list[list[str]] = []
         for sent_j in range(n_sent):
             if lang == "zh":
-                s = rng.choice(ZH_FILLERS)
-                sents.append(s)
-                page_tokens.append([s])
+                if rng.random() < 0.5:
+                    s = rng.choice(ZH_FILLERS)
+                    sents.append(s)
+                    page_tokens.append([s])
+                    continue
+                pre, t1, mid, t2, post = rng.choice(ZH_TEMPLATES2)
+                e1 = rng.choice(zh_by_type[t1])
+                e2 = rng.choice(zh_by_type[t2])
+                toks = pre + [e1.title] + mid + [e2.title] + post
+                start1 = len(pre)
+                start2 = start1 + 1 + len(mid)
+                sents.append(" ".join(toks))
+                page_tokens.append(toks)
+                g_ment.append((url, sent_j, start1, start1 + 1,
+                               e1.title, t1))
+                g_ment.append((url, sent_j, start2, start2 + 1,
+                               e2.title, t2))
+                g_link.append((url, sent_j, start1, e1.ent_id))
+                g_link.append((url, sent_j, start2, e2.ent_id))
+                pred = "_".join(w for w in mid if w.isalpha()) or "related_to"
+                g_trip.append((e1.title, pred, e2.title, url, sent_j))
                 continue
             roll = rng.random()
             if roll < 0.35:

@@ -109,3 +109,34 @@ def test_oracle_vs_generator_gold_ge_095(tiny_corpus, oracle_out):
     got = _rows(oracle_out["triples"], KEY_COLS)
     p, r, f1, *_ = span_prf(want, got)
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_zh_triples_end_to_end(ray_session, tmp_path):
+    """The per-language KB index path produces zh triples through the
+    DISTRIBUTED pipeline, matching the oracle exactly on the zh slice."""
+    import pyarrow.parquet as pq
+
+    from kb_ner_ray.data.oracle import run_oracle
+    from kb_ner_ray.data.synth import generate_corpus
+    from kb_ner_ray.pipelines.kg import kg_triples
+
+    t = generate_corpus(150, seed=7)
+    d = tmp_path / "zh_corpus"
+    for name in ("pages", "kb", "gazetteer"):
+        (d / name).mkdir(parents=True)
+        pq.write_table(t[name], str(d / name / "part0.parquet"))
+
+    def is_zh(s: str) -> bool:
+        return any("一" <= c <= "鿿" for c in s)
+
+    engine = kg_triples(str(d)).to_pandas()
+    oracle = run_oracle(t["pages"], t["kb"], t["gazetteer"])[
+        "triples"].to_pandas()
+    key = ["subj", "pred", "obj", "url", "sent_id"]
+    e_zh = engine[engine["subj"].map(is_zh)][key].sort_values(key)
+    o_zh = oracle[oracle["subj"].map(is_zh)][key].sort_values(key)
+    assert len(o_zh) > 0, "corpus must contain zh triples"
+    assert e_zh.reset_index(drop=True).equals(o_zh.reset_index(drop=True))
+    # canonicalization resolved zh surfaces to KB titles
+    assert set(e_zh["subj"]) <= {"王小明", "李华", "张伟", "宏远科技",
+                                 "蓝山集团", "北港市", "南湖镇"}
