@@ -140,3 +140,32 @@ def test_zh_triples_end_to_end(ray_session, tmp_path):
     # canonicalization resolved zh surfaces to KB titles
     assert set(e_zh["subj"]) <= {"王小明", "李华", "张伟", "宏远科技",
                                  "蓝山集团", "北港市", "南湖镇"}
+
+
+def test_order_independence(ray_session, tmp_path):
+    """Shuffling the physical row order of the pages input leaves the
+    triple set EXACTLY unchanged (keys carried, never physical order —
+    SURVEY.md §2.9 / §7 hard part (d))."""
+    import pyarrow.parquet as pq
+
+    from kb_ner_ray.data.synth import generate_corpus
+    from kb_ner_ray.pipelines.kg import kg_triples
+
+    t = generate_corpus(100, seed=13)
+    perm = list(range(t["pages"].num_rows))
+    import random as _random
+
+    _random.Random(99).shuffle(perm)
+    shuffled_pages = t["pages"].take(perm)
+
+    outs = []
+    for pages in (t["pages"], shuffled_pages):
+        d = tmp_path / f"c{len(outs)}"
+        for name, table in (("pages", pages), ("kb", t["kb"]),
+                            ("gazetteer", t["gazetteer"])):
+            (d / name).mkdir(parents=True)
+            pq.write_table(table, str(d / name / "part0.parquet"))
+        key = ["subj", "pred", "obj", "url", "sent_id"]
+        outs.append(kg_triples(str(d)).to_pandas()[key]
+                    .sort_values(key).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
