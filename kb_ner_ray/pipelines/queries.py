@@ -255,10 +255,11 @@ def q_orders_lineitem_bucketed(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """3-hop join lineitem -> orders -> customer -> nation as chained
-    BROADCAST lookups (dimension maps composed driver-side into one
-    orderkey->nation dict, so the fact scan does a single hash probe per
-    row), then a combiner rollup."""
+    """3-hop join lineitem -> orders -> customer -> nation, fully
+    vectorized: the dimension chain is composed driver-side into a SORTED
+    orderkey array + nation-code array (zero-copy numpy broadcast -- no
+    per-worker dict deserialization), and the fact scan probes it with
+    searchsorted and pre-aggregates per nation code with bincount."""
     import pyarrow.parquet as pq
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet",
@@ -267,36 +268,49 @@ def q_revenue_by_nation(sf_dir: str):
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    n_name = dict(zip(nation.column("n_nationkey").to_pylist(),
-                      nation.column("n_name").to_pylist()))
-    c_nat = dict(zip(cust.column("c_custkey").to_pylist(),
-                     cust.column("c_nationkey").to_pylist()))
-    o_nation = {
-        ok: n_name[c_nat[ck]]
-        for ok, ck in zip(orders.column("o_orderkey").to_pylist(),
-                          orders.column("o_custkey").to_pylist())
-    }
-    ref = ray.put(o_nation)
+    n_keys = nation.column("n_nationkey").to_numpy()
+    names = nation.column("n_name").to_pylist()
+    n_order = np.argsort(n_keys)
+    sorted_names = [names[i] for i in n_order]
+    # customer: custkey(sorted) -> dense nation code
+    c_keys = cust.column("c_custkey").to_numpy()
+    c_order = np.argsort(c_keys)
+    c_keys_sorted = c_keys[c_order]
+    nat_code_of_cust = np.searchsorted(
+        n_keys[n_order], cust.column("c_nationkey").to_numpy()[c_order])
+    # orders: orderkey(sorted) -> nation code
+    o_keys = orders.column("o_orderkey").to_numpy()
+    o_order = np.argsort(o_keys)
+    ok_sorted = o_keys[o_order]
+    o_cust = orders.column("o_custkey").to_numpy()[o_order]
+    o_code = nat_code_of_cust[np.searchsorted(c_keys_sorted, o_cust)]
+    n_codes = len(names)
+    ref = ray.put((ok_sorted, o_code.astype(np.int64)))
 
-    class JoinNation:
-        def __init__(self):
-            self.m = ray.get(ref)
+    from ..stages.similarity import _cached_state
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nat = [self.m[k] for k in t["l_orderkey"].to_pylist()]
-            rev = pc.multiply(t["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            return pa.table({"n_name": pa.array(nat, pa.string()),
-                             "revenue": rev}).group_by("n_name").aggregate(
-                [("revenue", "sum"), ("revenue", "count")])
+    def join_partial(t: pa.Table, ref=ref) -> pa.Table:
+        ok_s, codes = _cached_state(ref, lambda x: x)
+        k = t["l_orderkey"].to_numpy()
+        code = codes[np.searchsorted(ok_s, k)]
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        sums = np.bincount(code, weights=rev, minlength=n_codes)
+        counts = np.bincount(code, minlength=n_codes)
+        return pa.table({
+            "code": pa.array(np.arange(n_codes), pa.int64()),
+            "revenue_sum": pa.array(sums, pa.float64()),
+            "revenue_count": pa.array(counts.astype(np.int64), pa.int64()),
+        })
 
     pdf = (_read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
-           .map_batches(JoinNation, batch_format="pyarrow",
-                        concurrency=(1, 4))
+           .map_batches(join_partial, batch_format="pyarrow")
            .to_pandas())
-    df = pdf.groupby("n_name", as_index=False).agg(
+    df = pdf.groupby("code", as_index=False).agg(
         {"revenue_sum": "sum", "revenue_count": "sum"})
+    df = df[df["revenue_count"] > 0].copy()
+    df["n_name"] = [sorted_names[int(c)] for c in df["code"]]
     df["revenue"] = _cents(df["revenue_sum"])
     df["n_items"] = df["revenue_count"].astype(np.int64)
     return df[["n_name", "n_items", "revenue"]]
