@@ -176,39 +176,50 @@ GROUP BY r.r_name, n.n_name
 
 
 def q_orders_lineitem_join(sf_dir: str):
-    """Large-side hash join orders x lineitem -> per-orderpriority stats.
-    The orders side is keyed and broadcast per actor here (it is the smaller
-    side at every sf); at petabyte scale the same dataflow runs as a
-    bucketed hash join on l_orderkey."""
+    """Large-side join orders x lineitem -> per-orderpriority stats via the
+    sorted-array broadcast (orderkey array + priority-code array, zero-copy
+    numpy; searchsorted probe + bincount partials).  The bucketed-shuffle
+    equivalent is q_orders_lineitem_bucketed."""
     import pyarrow.parquet as pq
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_orderpriority"])
-    omap_ref = ray.put(dict(zip(orders.column("o_orderkey").to_pylist(),
-                                orders.column("o_orderpriority").to_pylist())))
+    o_keys = orders.column("o_orderkey").to_numpy()
+    prios = orders.column("o_orderpriority").to_pylist()
+    prio_names = sorted(set(prios))
+    prio_idx = {p: i for i, p in enumerate(prio_names)}
+    order = np.argsort(o_keys)
+    ok_sorted = o_keys[order]
+    codes = np.array([prio_idx[prios[i]] for i in order], dtype=np.int64)
+    n_codes = len(prio_names)
+    ref = ray.put((ok_sorted, codes))
 
-    class JoinPrio:
-        def __init__(self):
-            self.omap = ray.get(omap_ref)
+    from ..stages.similarity import _cached_state
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            prio = [self.omap[k] for k in t["l_orderkey"].to_pylist()]
-            rev = pc.multiply(t["l_extendedprice"],
-                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            # combiner: partial per-priority sums inside the join batch
-            return pa.table({"o_orderpriority": pa.array(prio, pa.string()),
-                             "revenue": rev}).group_by(
-                "o_orderpriority").aggregate(
-                [("revenue", "sum"), ("revenue", "count")])
+    def join_partial(t: pa.Table, ref=ref) -> pa.Table:
+        ok_s, code_arr = _cached_state(ref, lambda x: x)
+        k = t["l_orderkey"].to_numpy()
+        code = code_arr[np.searchsorted(ok_s, k)]
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table({
+            "code": pa.array(np.arange(n_codes), pa.int64()),
+            "revenue_sum": pa.array(
+                np.bincount(code, weights=rev, minlength=n_codes),
+                pa.float64()),
+            "revenue_count": pa.array(
+                np.bincount(code, minlength=n_codes).astype(np.int64),
+                pa.int64()),
+        })
 
-    pdf = (
-        _read(sf_dir, "lineitem",
-              columns=["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(JoinPrio, batch_format="pyarrow", concurrency=(1, 4))
-        .to_pandas()  # 5-priority partials
-    )
-    df = pdf.groupby("o_orderpriority", as_index=False).agg(
+    pdf = (_read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
+           .map_batches(join_partial, batch_format="pyarrow")
+           .to_pandas())
+    df = pdf.groupby("code", as_index=False).agg(
         {"revenue_sum": "sum", "revenue_count": "sum"})
+    df = df[df["revenue_count"] > 0].copy()
+    df["o_orderpriority"] = [prio_names[int(c)] for c in df["code"]]
     df["revenue"] = _cents(df["revenue_sum"])
     df["n_items"] = df["revenue_count"].astype(np.int64)
     return df[["o_orderpriority", "n_items", "revenue"]]
