@@ -515,40 +515,31 @@ def q_approx_distinct_users(sf_dir: str):
 
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event gets the latest o_orderdate <= ts for
-    o_custkey = user_id (orders broadcast + np.searchsorted per batch;
-    the bucketed merge_asof is the same dataflow at scale)."""
+    o_custkey = user_id.  The orders side is broadcast ONCE as a
+    date-sorted frame (worker-local cached); each batch runs a C-speed
+    pandas merge_asof with by-key matching — the bucketed merge_asof is
+    the same dataflow at scale."""
     import pyarrow.parquet as pq
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_orderdate"]).to_pandas()
-    by_cust = {
-        int(k): np.sort(v["o_orderdate"].to_numpy())
-        for k, v in orders.groupby("o_custkey")
-    }
-    ref = ray.put(by_cust)
+    orders = (pq.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+              .to_pandas().sort_values("o_orderdate"))
+    ref = ray.put(orders)
 
-    class AsOf:
-        def __init__(self):
-            self.by_cust = ray.get(ref)
+    from ..stages.similarity import _cached_state
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out = []
-            ts_arr = t["ts"].to_pandas().to_numpy()
-            for uid, ts in zip(t["user_id"].to_pylist(), ts_arr):
-                dates = self.by_cust.get(int(uid))
-                if dates is None:
-                    out.append(None)
-                    continue
-                i = np.searchsorted(dates, ts, side="right")
-                out.append(dates[i - 1] if i > 0 else None)
-            return pa.table({
-                "event_id": t["event_id"],
-                "user_id": t["user_id"],
-                "last_order_date": pa.array(out, pa.timestamp("us")),
-            })
+    def asof(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        right = _cached_state(ref, lambda x: x)
+        left = df.sort_values("ts")
+        merged = pd.merge_asof(left, right, left_on="ts",
+                               right_on="o_orderdate",
+                               left_by="user_id", right_by="o_custkey",
+                               direction="backward")
+        merged = merged.rename(columns={"o_orderdate": "last_order_date"})
+        return merged[["event_id", "user_id", "last_order_date"]]
 
     return (_read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-            .map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)))
+            .map_batches(asof, batch_format="pandas"))
 
 
 SQL_ASOF = """
