@@ -1094,15 +1094,18 @@ def q_kg_contexts(sf_dir: str):
 
 
 def q_kg_mentions(sf_dir: str):
-    from ..pipelines.kg import load_corpus_refs, sentences_dataset
-    from ..stages.tagger import tag_link
+    """Fused retrieve+attach+tag+link emitting mentions (the staged
+    retrieve_attach|tag_link variant remains for aug_text inspection)."""
+    from ..pipelines.kg import (_pages_batch_size, load_corpus_refs,
+                                sentences_dataset)
+    from ..stages.tagger import retrieve_tag_mentions
 
     corpus = _corpus(sf_dir)
     kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
-    return sentences_dataset(corpus, with_retrieval=True,
-                             kb_ref=kb_ref).map_batches(
-        tag_link, fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
-        batch_format="pyarrow", batch_size=1024)
+    return sentences_dataset(corpus, with_retrieval=False).map_batches(
+        retrieve_tag_mentions,
+        fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=_pages_batch_size(corpus))
 
 
 def q_kg_triples(sf_dir: str):

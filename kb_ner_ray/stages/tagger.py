@@ -384,3 +384,80 @@ def tag_link(batch: pa.Table, gaz_ref=None, kb_ref=None) -> pa.Table:
         st = TagLink(gaz_ref, kb_ref=kb_ref)
         _TL_STATE[key] = st
     return st(batch)
+
+
+class RetrieveTagMentions(RetrieveTagTriples):
+    """FUSED retrieve + attach + tag + link emitting the MENTIONS schema
+    (the kg_mentions inspection output) — same state and memo as the
+    triples variant, different emission."""
+
+    def _sentence_mentions_rows(self, text: str, lang: str | None) -> list:
+        hits = self.index.search(text, lang=lang, k=TOP_K)
+        aug, _n = attach_contexts_cached(
+            text, [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits])
+        tokens, spans = self._sentence_mentions(text, aug)
+        out = []
+        sent_set = None
+        for start, end, label, score in spans:
+            surf = tokens[start:end]
+            if sent_set is None and len(
+                    self.gaz.candidates.get(tuple(surf), ())) > 1:
+                sent_set = set(analyze(" ".join(tokens)))
+            ent = link_mention(tuple(surf), tokens, self.gaz,
+                               self.ent_def_tokens, sent_set=sent_set)
+            out.append((start, end, " ".join(surf), label, score, ent))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = (batch.column("lang").to_pylist()
+                 if "lang" in batch.column_names else [None] * batch.num_rows)
+        urls, sids, starts, ends, surfs, labels, scores, ents = (
+            [], [], [], [], [], [], [], [])
+        for url, sid, text, lang in zip(
+            batch.column("url").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            langs,
+        ):
+            key = ("m", text, lang)
+            res = self._memo.get(key)
+            if res is None:
+                res = self._sentence_mentions_rows(text, lang)
+                if len(self._memo) >= self.MEMO_CAP:
+                    self._memo.clear()
+                self._memo[key] = res
+            for start, end, surf, label, score, ent in res:
+                urls.append(url)
+                sids.append(sid)
+                starts.append(start)
+                ends.append(end)
+                surfs.append(surf)
+                labels.append(label)
+                scores.append(score)
+                ents.append(ent)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "sent_id": pa.array(sids, pa.int32()),
+                "start_tok": pa.array(starts, pa.int32()),
+                "end_tok": pa.array(ends, pa.int32()),
+                "surface": pa.array(surfs, pa.string()),
+                "label": pa.array(labels, pa.string()),
+                "score": pa.array(scores, pa.float32()),
+                "ent_id": pa.array(ents, pa.int64()),
+            }
+        )
+
+
+_TM_STATE: dict = {}
+
+
+def retrieve_tag_mentions(batch: pa.Table, kb_ref=None, gaz_ref=None) -> pa.Table:
+    """Plain-task fused mentions stage with worker-local cached state."""
+    key = (kb_ref, gaz_ref)
+    st = _TM_STATE.get(key)
+    if st is None:
+        _TM_STATE.clear()
+        st = RetrieveTagMentions(gaz_ref, kb_ref)
+        _TM_STATE[key] = st
+    return st(batch)
