@@ -392,22 +392,34 @@ SESSION_GAP_MIN = 30
 
 def q_events_sessionize(sf_dir: str):
     """Per-user session windows (30-min inactivity gap) — the streaming-
-    window seat: groupby(user).map_groups over ts-sorted events."""
+    window seat.  ONE shuffle on a coarse 32-way user-hash bucket; all
+    users of a bucket are sessionized in a single vectorized pass (sort by
+    (user, ts, event_id); break on user change OR gap; cumsum session ids),
+    so per-group dispatch stays O(buckets), not O(users)."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype(np.int64) + 1
-        out = g.groupby(sid).agg(
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 31), pa.int32())
+        return t.append_column("bucket", b)
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)) \
+            | new_user
+        sidg = brk.cumsum()
+        first = sidg.where(new_user).ffill()
+        g = g.assign(session_id=(sidg - first + 1).astype(np.int64))
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("event_id", "size"),
             start_ts=("ts", "min"),
-            end_ts=("ts", "max"),
-        ).reset_index(names="session_id")
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+            end_ts=("ts", "max"))
+        return out[["user_id", "session_id", "n_events",
+                    "start_ts", "end_ts"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(sessionize_bucket, batch_format="pandas"))
 
 
 SQL_SESSIONIZE = f"""
