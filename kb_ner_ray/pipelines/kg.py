@@ -80,11 +80,21 @@ def _memo_shards(corpus: str, k: int = 4) -> list:
     return hit
 
 
-def _pages_batch_size(corpus: str) -> int:
-    """Pages per task for the fused heavy stage: target ~4 task waves per
-    CPU so the driver schedules O(cpus) tasks, not O(corpus) — task
-    dispatch is serial on the driver (~ms each) and must not grow with
-    input size.  Parquet metadata gives row counts without reading data."""
+# Average sentences produced per page by the extract+explode stages (synth
+# corpus measures ~9.3 at every sf; a production deployment would sample).
+_SENTS_PER_PAGE_EST = 9
+
+
+def _sentences_batch_size(corpus: str) -> int:
+    """SENTENCES per batch for the fused heavy stage.
+
+    ``map_batches(batch_size=N)`` counts the operator's OWN input rows —
+    sentences after explode_sentences — even when the operator fuses with
+    the read (verified empirically: a fused downstream op still re-batches
+    its own input stream).  Task-dispatch granularity is governed by the
+    READ's block count, not by this value; this value sizes the unit of
+    per-batch overhead amortization and memo locality.  Target ~4 batches
+    per CPU.  Parquet metadata gives page counts without reading data."""
     import glob
 
     try:
@@ -94,9 +104,8 @@ def _pages_batch_size(corpus: str) -> int:
     n_pages = 0
     for f in glob.glob(corpus + "/pages/*.parquet"):
         n_pages += pq.ParquetFile(f).metadata.num_rows
-    # ~4 waves per CPU: few enough tasks that driver dispatch stays O(cpus),
-    # many enough that the last-wave straggler tail is a small fraction
-    return max(64, n_pages // (total * 4))
+    n_sents = n_pages * _SENTS_PER_PAGE_EST
+    return max(256, n_sents // (total * 4))
 
 
 def _default_concurrency() -> tuple[int, int]:
@@ -125,13 +134,13 @@ def sentences_dataset(corpus: str, parallelism: int | None = None,
     )
     if with_retrieval:
         assert kb_ref is not None
-        # batch_size is in PAGES (the stage fuses with extract/explode);
+        # batch_size is in SENTENCES (the operator's own input rows);
         # plain tasks + worker-local cached index (stages/retriever.py)
         sents = sents.map_batches(
             retrieve_attach,
             fn_kwargs={"kb_ref": kb_ref},
             batch_format="pyarrow",
-            batch_size=_pages_batch_size(corpus),
+            batch_size=_sentences_batch_size(corpus),
         )
     return sents
 
@@ -148,10 +157,10 @@ def kg_triples(corpus: str, parallelism: int | None = None,
     kb_ref, gaz_ref, ent_title = load_corpus_refs(corpus)
     if with_retrieval:
         sents = sentences_dataset(corpus, parallelism, with_retrieval=False)
-        # batch_size counts PAGES (the operator fuses with read/extract/
-        # explode): 128 pages ~ 1.2k sentences per task.  Plain tasks +
-        # worker-local cached state: parallelism follows the cluster with
-        # no per-run actor-pool spin-up (see stages/tagger.py).
+        # batch_size counts SENTENCES (the operator's own input rows, even
+        # fused; task granularity comes from the read's block count).
+        # Plain tasks + worker-local cached state: parallelism follows the
+        # cluster with no per-run actor-pool spin-up (see stages/tagger.py).
         # Plain per-worker memo (shards=None): measured fastest at >=32
         # workers — the sharded cluster-wide memo (pass
         # shards=_memo_shards(corpus)) pays more in cache-RPC wait than it
@@ -162,7 +171,7 @@ def kg_triples(corpus: str, parallelism: int | None = None,
             fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref,
                        "shards": None},
             batch_format="pyarrow",
-            batch_size=_pages_batch_size(corpus),
+            batch_size=_sentences_batch_size(corpus),
         )
     else:
         sents = sentences_dataset(corpus, parallelism, with_retrieval=False)

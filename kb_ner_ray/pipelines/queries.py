@@ -29,8 +29,38 @@ def _cents(arr, scale: int = 100):
     return np.floor(a * scale + 0.5).astype(np.int64)
 
 
+def _probe_sorted(keys_sorted: np.ndarray, probe: np.ndarray):
+    """Inner-join probe into a sorted key array: (idx, valid) where ``valid``
+    marks probes that matched exactly.  A raw ``searchsorted`` probe would
+    raise IndexError for a probe beyond max(key) and silently hit the NEXT
+    key's group for a missing in-range key — safe only under FK integrity,
+    which a general join pattern must not assume."""
+    n = len(keys_sorted)
+    idx = np.searchsorted(keys_sorted, probe)
+    if n == 0:
+        return idx, np.zeros(len(probe), dtype=bool)
+    idx = np.minimum(idx, n - 1)
+    valid = keys_sorted[idx] == probe
+    return idx, valid
+
+
 def _read(sf_dir: str, table: str, columns=None, **kw):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+    """read_parquet with an explicit metadata-free schema.
+
+    Parquet written via pandas carries b'pandas' schema metadata; a
+    pa.Schema with metadata is unhashable (``hash(schema)`` raises
+    "unhashable type: 'dict'"), so block-schema dedup inside the read split
+    and every downstream groupby/sort reduce logs `Failed to hash the
+    schemas (for deduplication)`.  Passing a stripped ``schema=`` kills the
+    noise at the source (metadata-only, zero-copy)."""
+    path = f"{sf_dir}/{table}.parquet"
+    if "schema" not in kw:
+        import pyarrow.parquet as _pq
+
+        sch = _pq.read_schema(path)
+        names = columns if columns is not None else sch.names
+        kw["schema"] = pa.schema([sch.field(n) for n in names])
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 def _tree_agg(ds, keys: list[str], partial_fn, final_spec: dict):
@@ -199,9 +229,10 @@ def q_orders_lineitem_join(sf_dir: str):
     def join_partial(t: pa.Table, ref=ref) -> pa.Table:
         ok_s, code_arr = _cached_state(ref, lambda x: x)
         k = t["l_orderkey"].to_numpy()
-        code = code_arr[np.searchsorted(ok_s, k)]
+        idx, valid = _probe_sorted(ok_s, k)
+        code = code_arr[idx[valid]]
         rev = (t["l_extendedprice"].to_numpy()
-               * (1.0 - t["l_discount"].to_numpy()))
+               * (1.0 - t["l_discount"].to_numpy()))[valid]
         return pa.table({
             "code": pa.array(np.arange(n_codes), pa.int64()),
             "revenue_sum": pa.array(
@@ -287,14 +318,18 @@ def q_revenue_by_nation(sf_dir: str):
     c_keys = cust.column("c_custkey").to_numpy()
     c_order = np.argsort(c_keys)
     c_keys_sorted = c_keys[c_order]
-    nat_code_of_cust = np.searchsorted(
+    n_idx, n_valid = _probe_sorted(
         n_keys[n_order], cust.column("c_nationkey").to_numpy()[c_order])
+    c_keys_sorted = c_keys_sorted[n_valid]  # inner join: drop nation-less
+    nat_code_of_cust = n_idx[n_valid]
     # orders: orderkey(sorted) -> nation code
     o_keys = orders.column("o_orderkey").to_numpy()
     o_order = np.argsort(o_keys)
     ok_sorted = o_keys[o_order]
     o_cust = orders.column("o_custkey").to_numpy()[o_order]
-    o_code = nat_code_of_cust[np.searchsorted(c_keys_sorted, o_cust)]
+    c_idx, c_valid = _probe_sorted(c_keys_sorted, o_cust)
+    ok_sorted = ok_sorted[c_valid]  # inner join: drop customer-less orders
+    o_code = nat_code_of_cust[c_idx[c_valid]]
     n_codes = len(names)
     ref = ray.put((ok_sorted, o_code.astype(np.int64)))
 
@@ -303,9 +338,10 @@ def q_revenue_by_nation(sf_dir: str):
     def join_partial(t: pa.Table, ref=ref) -> pa.Table:
         ok_s, codes = _cached_state(ref, lambda x: x)
         k = t["l_orderkey"].to_numpy()
-        code = codes[np.searchsorted(ok_s, k)]
+        idx, valid = _probe_sorted(ok_s, k)
+        code = codes[idx[valid]]
         rev = (t["l_extendedprice"].to_numpy()
-               * (1.0 - t["l_discount"].to_numpy()))
+               * (1.0 - t["l_discount"].to_numpy()))[valid]
         sums = np.bincount(code, weights=rev, minlength=n_codes)
         counts = np.bincount(code, minlength=n_codes)
         return pa.table({
@@ -341,8 +377,8 @@ GROUP BY n.n_name
 
 def q_part_filter_topk(sf_dir: str):
     """Filter pushdown at the parquet read + global sort/limit."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
+    ds = _read(
+        sf_dir, "part",
         columns=["p_partkey", "p_name", "p_retailprice", "p_size"],
         filter=(pc.field("p_size") >= 40),
     )
@@ -435,7 +471,8 @@ WITH marked AS (
                                 ROWS UNBOUNDED PRECEDING) + 1 AS session_id
   FROM marked
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM numbered GROUP BY user_id, session_id
 """
@@ -580,7 +617,8 @@ def q_props_json(sf_dir: str):
 
 SQL_PROPS_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -950,9 +988,9 @@ def q_order_priority_exists(sf_dir: str):
         return t.group_by("l_orderkey").aggregate([])
 
     keys_df = (
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                        columns=["l_orderkey", "l_shipdate"],
-                        filter=(pc.field("l_shipdate") >= pa.scalar(ship)))
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_shipdate"],
+              filter=(pc.field("l_shipdate") >= pa.scalar(ship)))
         .map_batches(distinct_keys, batch_format="pyarrow")
         .to_pandas()
     )
@@ -969,8 +1007,8 @@ def q_order_priority_exists(sf_dir: str):
                 [("o_orderkey", "count")])
 
     pdf = (
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
+        _read(
+            sf_dir, "orders",
             columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
             filter=((pc.field("o_orderdate") >= pa.scalar(lo))
                     & (pc.field("o_orderdate") < pa.scalar(hi))))
@@ -1020,7 +1058,7 @@ def q_corpus_stats(sf_dir: str):
 SQL_CORPUS_STATS = """
 SELECT len(regexp_split_to_array(trim(text), '\\s+')) // 10 AS bucket,
        count(*) AS n_docs,
-       sum(length(text)) AS sum_chars
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY bucket
 """
 
@@ -1108,7 +1146,7 @@ def q_kg_contexts(sf_dir: str):
 def q_kg_mentions(sf_dir: str):
     """Fused retrieve+attach+tag+link emitting mentions (the staged
     retrieve_attach|tag_link variant remains for aug_text inspection)."""
-    from ..pipelines.kg import (_pages_batch_size, load_corpus_refs,
+    from ..pipelines.kg import (_sentences_batch_size, load_corpus_refs,
                                 sentences_dataset)
     from ..stages.tagger import retrieve_tag_mentions
 
@@ -1117,7 +1155,7 @@ def q_kg_mentions(sf_dir: str):
     return sentences_dataset(corpus, with_retrieval=False).map_batches(
         retrieve_tag_mentions,
         fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
-        batch_format="pyarrow", batch_size=_pages_batch_size(corpus))
+        batch_format="pyarrow", batch_size=_sentences_batch_size(corpus))
 
 
 def q_kg_triples(sf_dir: str):

@@ -28,7 +28,12 @@ def _h64(value: str) -> int:
 class KMVSketch:
     def __init__(self, k: int = 1024, hashes: list[int] | None = None):
         self.k = k
-        self.hashes: list[int] = sorted(hashes or [])[:k]
+        # Dedupe here, not just in merge(): approx_distinct() re-enters this
+        # constructor with concatenated cross-block partials, and a value seen
+        # in several blocks must contribute ONE hash, not len(blocks) copies
+        # (duplicates displace larger distinct hashes and inflate the
+        # estimate).
+        self.hashes: list[int] = sorted(set(hashes or []))[:k]
 
     def add_many(self, values) -> None:
         hs = {_h64(str(v)) for v in values}

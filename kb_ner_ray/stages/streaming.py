@@ -77,8 +77,12 @@ def sessionize_stream(events_ds, n_buckets: int = 8,
                     sub["user_id"].astype(int).tolist(),
                     sub["ts"].tolist()))
         if len(pending) > 4 * n_buckets:   # bounded in-flight backpressure
-            ray.wait(pending, num_returns=len(pending) - 2 * n_buckets)
-            pending = pending[-2 * n_buckets:]
+            # Keep ray.wait's not_ready list (completion order is arbitrary;
+            # a positional slice could drop still-pending refs and lose their
+            # errors) and surface any feed-task error now.
+            ready, pending = ray.wait(
+                pending, num_returns=len(pending) - 2 * n_buckets)
+            ray.get(ready)
     ray.get(pending)
     rows: list[tuple] = []
     for res in ray.get([a.flush.remote() for a in actors]):

@@ -31,6 +31,41 @@ def test_accuracy_within_3_sigma():
     assert abs(est - true_n) < 3 * sigma
 
 
+def test_cross_block_duplicates_not_inflated():
+    """A value seen in MANY blocks must count once: the constructor path
+    (used by approx_distinct to merge concatenated cross-block partials)
+    must dedupe hashes, else duplicates displace larger distinct hashes and
+    inflate the estimate (observed 7.6x before the fix)."""
+    k = 256
+    true_n = 2000
+    partials: list[int] = []
+    for block in range(8):
+        sk = KMVSketch(k)
+        # every block sees the SAME 2000 values (worst-case duplication)
+        sk.add_many([f"u{i}" for i in range(true_n)])
+        partials.extend(sk.hashes)
+    merged = KMVSketch(k, partials)
+    est = merged.estimate()
+    sigma = true_n / (k - 2) ** 0.5
+    assert abs(est - true_n) < 3 * sigma, est
+    # and the sketch equals the single-pass sketch exactly
+    whole = KMVSketch(k)
+    whole.add_many([f"u{i}" for i in range(true_n)])
+    assert merged.hashes == whole.hashes
+
+
+def test_distributed_repeated_users_across_blocks(ray_session):
+    """approx_distinct over user_ids repeated in every block (the shipped
+    approx_distinct_users shape) — regression for the constructor-dedupe
+    bug."""
+    rows = {"v": [f"user-{i % 400}" for i in range(20_000)]}
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(8)
+    df = approx_distinct(ds, "v", k=128)
+    est = float(df["approx_distinct"].iloc[0])
+    sigma = 400 / (128 - 2) ** 0.5
+    assert abs(est - 400) < 4 * sigma, est
+
+
 def test_distributed_grouped_estimate(ray_session):
     rows = {"g": [], "v": []}
     for g, n in (("a", 3000), ("b", 300), ("c", 7)):
