@@ -110,6 +110,17 @@ def decode_bioes(
     return spans
 
 
+def label2mention(tags: list[str]) -> list[str]:
+    """Collapse BIO labels to the single class ENT — the M14 seat
+    (reference ensemble_prediction.py:339-345 ``label2mention``): B-* ->
+    B-ENT, I-* -> I-ENT, everything else unchanged.  Runs after
+    ``bioes_to_bio`` in the reference's mention-level ensemble, turning
+    typed spans into untyped mention spans for cross-model voting."""
+    return ["B-ENT" if t.startswith("B-")
+            else "I-ENT" if t.startswith("I-") else t
+            for t in tags]
+
+
 def spans_to_bio(spans: list[Span], n_tokens: int) -> list[str]:
     """Render non-overlapping spans as a BIO tag sequence (inverse of decode)."""
     tags = ["O"] * n_tokens

@@ -78,6 +78,35 @@ def gen_sentence(tokens: list[str], lang: str | None = None) -> str:
     return " ".join(tokens)
 
 
+def gen_chinese_search_query(sentences: list[list[str]]) -> list[str]:
+    """Chinese ES-query strings from CoNLL-style sentences — the M8 seat
+    (reference kb/context_process.py:105-134 ``gen_chinese_search_query``).
+
+    Each sentence is a list of CoNLL lines (token is the first whitespace
+    field; bare token lists work too).  Consecutive CJK tokens are glued
+    with no separator; any other adjacency gets a single space.  The
+    reference's ``is_eng``/``add_flag`` locals are dead code (never read
+    after assignment) and are not reproduced."""
+    out: list[str] = []
+    for sentence in sentences:
+        if not sentence:
+            out.append("")
+            continue
+        first = sentence[0].split()[0]
+        query = first
+        prev_zh = bool(re.findall(_ZH_CHAR, first))
+        for line in sentence[1:]:
+            word = line.split()[0]
+            is_zh = bool(re.findall(_ZH_CHAR, word))
+            if is_zh and prev_zh:
+                query += word
+            else:
+                query += " " + word
+            prev_zh = is_zh
+        out.append(query)
+    return out
+
+
 def printable_only(text: str) -> str:
     """Keep printable chars only (reference kb/context_process.py:410)."""
     return "".join(c for c in text if c.isprintable())

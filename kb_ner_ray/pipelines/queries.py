@@ -1158,6 +1158,23 @@ def q_kg_mentions(sf_dir: str):
         batch_format="pyarrow", batch_size=_sentences_batch_size(corpus))
 
 
+def q_kg_mentions_viterbi(sf_dir: str):
+    """kg_mentions through the numpy CRF Viterbi decode (functions/viterbi,
+    reference flair/models/sequence_tagger_model.py:1248-1327) instead of
+    the trie codec — identical (start, end, label, ent) mentions on
+    gazetteer-shaped emissions, pinned by tests/test_viterbi.py."""
+    from ..pipelines.kg import (_sentences_batch_size, load_corpus_refs,
+                                sentences_dataset)
+    from ..stages.tagger import retrieve_tag_mentions_viterbi
+
+    corpus = _corpus(sf_dir)
+    kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
+    return sentences_dataset(corpus, with_retrieval=False).map_batches(
+        retrieve_tag_mentions_viterbi,
+        fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=_sentences_batch_size(corpus))
+
+
 def q_kg_triples(sf_dir: str):
     from ..pipelines.kg import kg_triples
 
@@ -1405,6 +1422,7 @@ def queries_registry():
         "kg_sentences": q_kg_sentences,
         "kg_contexts": q_kg_contexts,
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_viterbi": q_kg_mentions_viterbi,
         "kg_triples": q_kg_triples,
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_ensemble": q_kg_ensemble,

@@ -249,6 +249,82 @@ class RetrieveTagTriples(_GazActorBase):
         )
 
 
+class ViterbiCodec:
+    """Tag space + constrained CRF transition matrix + decode for a label
+    set — the T3 seat's decode path (reference
+    flair/models/sequence_tagger_model.py:1248-1327).
+
+    ``decode_tags`` maps any per-token emission matrix to the best
+    grammatical BIOES tag sequence + per-token confidences.  With
+    gazetteer-shaped emissions (one high-margin score per token at the
+    gazetteer's tag, which is always a grammatical sequence) the decode
+    reproduces the gazetteer tags exactly — pinned by tests — so the
+    Viterbi path is a drop-in for the trie path; a real deployment feeds
+    model logits into the same ``decode_tags``.
+    """
+
+    EMIT = 10.0  # margin of the one-hot emission over the 0.0 background
+
+    def __init__(self, labels: list[str]):
+        from ..functions.viterbi import (
+            START_TAG,
+            STOP_TAG,
+            bioes_tag_dictionary,
+            bioes_transitions,
+        )
+
+        self.tags = bioes_tag_dictionary(sorted(labels))
+        self.idx = {t: i for i, t in enumerate(self.tags)}
+        self.trans = bioes_transitions(self.tags)
+        self.start = self.idx[START_TAG]
+        self.stop = self.idx[STOP_TAG]
+
+    def emissions(self, tag_seq: list[str]):
+        import numpy as np
+
+        em = np.zeros((len(tag_seq), len(self.tags)), dtype=np.float64)
+        em[np.arange(len(tag_seq)),
+           [self.idx[t] for t in tag_seq]] = self.EMIT
+        return em
+
+    def decode(self, emissions) -> tuple[list[str], list[float]]:
+        from ..functions.viterbi import viterbi_decode
+
+        conf, path, _ = viterbi_decode(emissions, self.trans,
+                                       self.start, self.stop)
+        return [self.tags[i] for i in path], conf
+
+    def decode_tags(self, tag_seq: list[str]) -> tuple[list[str], list[float]]:
+        if not tag_seq:
+            return [], []
+        return self.decode(self.emissions(tag_seq))
+
+
+class _ViterbiMentionsMixin:
+    """Swap the span source from the trie codec to emissions+CRF Viterbi
+    (full-sequence decode, the reference's ``remove_x=False`` branch; the
+    masked S-X variant lives in functions/viterbi.py)."""
+
+    def _viterbi_codec(self) -> ViterbiCodec:
+        vc = getattr(self, "_vc", None)
+        if vc is None:
+            labels = {label
+                      for lst in self.gaz.by_first.values()
+                      for _toks, label, _e in lst}
+            vc = self._vc = ViterbiCodec(sorted(labels))
+        return vc
+
+    def _sentence_mentions(self, text: str, aug_text: str | None):
+        from ..functions.spans import decode_bioes
+
+        tokens = text.split()
+        aug_tokens = aug_text.split() if aug_text is not None else tokens
+        vc = self._viterbi_codec()
+        tags, conf = vc.decode_tags(self.gaz.tag_tokens(aug_tokens))
+        spans = decode_bioes(tags, conf)
+        return tokens, [s for s in spans if s[1] <= len(tokens)]
+
+
 _TASK_STATE: dict = {}  # worker-local: (kb_ref, gaz_ref) -> built stage
 
 
@@ -460,4 +536,29 @@ def retrieve_tag_mentions(batch: pa.Table, kb_ref=None, gaz_ref=None) -> pa.Tabl
         _TM_STATE.clear()
         st = RetrieveTagMentions(gaz_ref, kb_ref)
         _TM_STATE[key] = st
+    return st(batch)
+
+
+class RetrieveTagMentionsViterbi(_ViterbiMentionsMixin, RetrieveTagMentions):
+    """kg_mentions through the CRF Viterbi decode path instead of the trie
+    codec — identical mentions on gazetteer-shaped emissions (pinned by
+    tests); the seam a real model's logits plug into."""
+
+
+class TagLinkViterbi(_ViterbiMentionsMixin, TagLink):
+    """Unfused TagLink through the Viterbi decode path."""
+
+
+_TMV_STATE: dict = {}
+
+
+def retrieve_tag_mentions_viterbi(batch: pa.Table, kb_ref=None,
+                                  gaz_ref=None) -> pa.Table:
+    """Plain-task fused Viterbi mentions stage, worker-local cached state."""
+    key = (kb_ref, gaz_ref)
+    st = _TMV_STATE.get(key)
+    if st is None:
+        _TMV_STATE.clear()
+        st = RetrieveTagMentionsViterbi(gaz_ref, kb_ref)
+        _TMV_STATE[key] = st
     return st(batch)

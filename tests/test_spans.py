@@ -107,3 +107,16 @@ def test_span_prf():
 def test_span_prf_multiset():
     gold = [("a",), ("a",)]
     assert span_prf(gold, [("a",)])[3:] == (1, 0, 1)
+
+
+def test_label2mention():
+    from kb_ner_ray.functions.spans import bioes_to_bio, label2mention
+
+    tags = ["O", "B-PER", "I-PER", "B-LOC", "O"]
+    assert label2mention(tags) == ["O", "B-ENT", "I-ENT", "B-ENT", "O"]
+    # reference composition: bioes2bio then label2mention
+    bioes = ["S-PER", "O", "B-CW", "E-CW"]
+    assert label2mention(bioes_to_bio(bioes)) == [
+        "B-ENT", "O", "B-ENT", "I-ENT"]
+    # untouched inputs pass through
+    assert label2mention(["O", "S-PER"]) == ["O", "S-PER"]

@@ -85,3 +85,23 @@ def test_split_sentences_newline_splits():
 
 def test_split_sentences_zh():
     assert split_sentences("你好。再见！", lang="zh") == ["你好。", "再见！"]
+
+
+def test_gen_chinese_search_query():
+    from kb_ner_ray.functions.text import gen_chinese_search_query
+
+    # CoNLL lines: token + tag column; zh-zh glues, others space-join
+    sents = [
+        ["北 O", "京 O", "is O", "big O"],
+        ["hello O", "世 O", "界 O"],
+        ["a O"],
+        [],
+    ]
+    assert gen_chinese_search_query(sents) == [
+        "北京 is big", "hello 世界", "a", ""]
+
+
+def test_gen_chinese_search_query_bare_tokens():
+    from kb_ner_ray.functions.text import gen_chinese_search_query
+
+    assert gen_chinese_search_query([["上", "海", "x", "上"]]) == ["上海 x 上"]
