@@ -29,6 +29,15 @@ def _cents(arr, scale: int = 100):
     return np.floor(a * scale + 0.5).astype(np.int64)
 
 
+def _pow2_buckets() -> int:
+    """Cluster-derived bucket count rounded UP to a power of two, so the
+    bucket id is a single vectorized bit_wise_and."""
+    from ..stages.partitioning import default_buckets
+
+    n = default_buckets()
+    return 1 << (n - 1).bit_length()
+
+
 def _probe_sorted(keys_sorted: np.ndarray, probe: np.ndarray):
     """Inner-join probe into a sorted key array: (idx, valid) where ``valid``
     marks probes that matched exactly.  A raw ``searchsorted`` probe would
@@ -165,17 +174,25 @@ def q_customer_rollup(sf_dir: str):
     r_name = {r["r_regionkey"]: r["r_name"] for r in region}
     n_map = {n["n_nationkey"]: (n["n_name"], r_name[n["n_regionkey"]])
              for n in nation}
-    n_ref = ray.put(n_map)
+    # sorted-key + value-array broadcast: the batch lookup is a vectorized
+    # searchsorted + take, not a per-row dict probe
+    nk = sorted(n_map)
+    n_ref = ray.put((np.array(nk, dtype=np.int64),
+                     pa.array([n_map[k][0] for k in nk], pa.string()),
+                     pa.array([n_map[k][1] for k in nk], pa.string())))
 
     class AttachDims:
         def __init__(self):
-            self.n_map = ray.get(n_ref)
+            self.keys, self.n_names, self.r_names = ray.get(n_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            pairs = [self.n_map[k] for k in t["c_nationkey"].to_pylist()]
+            probe = t["c_nationkey"].to_numpy()
+            idx, valid = _probe_sorted(self.keys, probe)
+            t = t.filter(pa.array(valid))  # inner join: drop unknown keys
+            take = pa.array(idx[valid], pa.int64())
             return pa.table({
-                "r_name": pa.array([p[1] for p in pairs], pa.string()),
-                "n_name": pa.array([p[0] for p in pairs], pa.string()),
+                "r_name": self.r_names.take(take),
+                "n_name": self.n_names.take(take),
                 "c_acctbal": t["c_acctbal"],
             })
 
@@ -268,7 +285,7 @@ GROUP BY o.o_orderpriority
 def q_orders_lineitem_bucketed(sf_dir: str):
     """Same result as orders_lineitem_join but via the GENERIC bucketed
     hash join (stages/joins.py) — the documented fallback when neither side
-    fits in a broadcast.  One all-to-all on hash(l_orderkey) % 32."""
+    fits in a broadcast.  One all-to-all on hash(l_orderkey) over a cluster-sized bucket count."""
     from ..stages.joins import hash_join
 
     lineitem = _read(sf_dir, "lineitem",
@@ -296,13 +313,79 @@ def q_orders_lineitem_bucketed(sf_dir: str):
     return df[["o_orderpriority", "n_items", "revenue"]]
 
 
+def q_revenue_by_nation_bucketed(sf_dir: str):
+    """revenue_by_nation via co-partitioned hash joins (stages/joins.py):
+    lineitem ⋈ orders on orderkey, then ⋈ customer on custkey — no fact
+    table is ever broadcast; only the 25-row nation map rides the driver.
+    Per-batch bincount partials keep the final combine vocabulary-sized.
+    Same oracle as revenue_by_nation."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nation_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                           nation.column("n_name").to_pylist()))
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def orders_rekey(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]})
+
+    orders = (_read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+              .map_batches(orders_rekey, batch_format="pyarrow"))
+
+    def cust_rekey(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    customer = (_read(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+                .map_batches(cust_rekey, batch_format="pyarrow"))
+
+    joined = hash_join(hash_join(lineitem, orders, on="l_orderkey"),
+                       customer, on="o_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        code = t["c_nationkey"].to_numpy().astype(np.int64)
+        n = int(code.max()) + 1 if len(code) else 1
+        return pa.table({
+            "code": pa.array(np.arange(n), pa.int64()),
+            "revenue_sum": pa.array(
+                np.bincount(code, weights=rev, minlength=n), pa.float64()),
+            "revenue_count": pa.array(
+                np.bincount(code, minlength=n).astype(np.int64), pa.int64()),
+        })
+
+    pdf = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = pdf.groupby("code", as_index=False).agg(
+        {"revenue_sum": "sum", "revenue_count": "sum"})
+    df = df[df["revenue_count"] > 0].copy()
+    df["n_name"] = df["code"].map(nation_name)
+    df["revenue"] = _cents(df["revenue_sum"])
+    df["n_items"] = df["revenue_count"].astype(np.int64)
+    return df[["n_name", "n_items", "revenue"]]
+
+
 def q_revenue_by_nation(sf_dir: str):
     """3-hop join lineitem -> orders -> customer -> nation, fully
     vectorized: the dimension chain is composed driver-side into a SORTED
     orderkey array + nation-code array (zero-copy numpy broadcast -- no
     per-worker dict deserialization), and the fact scan probes it with
-    searchsorted and pre-aggregates per nation code with bincount."""
+    searchsorted and pre-aggregates per nation code with bincount.
+    AUTO-SELECTED plan: the broadcast probe requires the dimension chain
+    (orders+customer) to measure small; above BROADCAST_MAX_BYTES the
+    co-partitioned hash-join plan runs instead."""
     import pyarrow.parquet as pq
+
+    if (_table_bytes(sf_dir, "orders") + _table_bytes(sf_dir, "customer")
+            > BROADCAST_MAX_BYTES):
+        return q_revenue_by_nation_bucketed(sf_dir)
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_custkey"])
@@ -428,14 +511,16 @@ SESSION_GAP_MIN = 30
 
 def q_events_sessionize(sf_dir: str):
     """Per-user session windows (30-min inactivity gap) — the streaming-
-    window seat.  ONE shuffle on a coarse 32-way user-hash bucket; all
+    window seat.  ONE shuffle on a coarse cluster-sized user-hash bucket; all
     users of a bucket are sessionized in a single vectorized pass (sort by
     (user, ts, event_id); break on user change OR gap; cumsum session ids),
     so per-group dispatch stays O(buckets), not O(users)."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
+    mask = _pow2_buckets() - 1  # fan-out follows the cluster
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["user_id"], 31), pa.int32())
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
         return t.append_column("bucket", b)
 
     def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -488,8 +573,10 @@ def q_events_rolling_count(sf_dir: str):
     vectorized with searchsorted inside the bucket."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
+    mask = _pow2_buckets() - 1  # fan-out follows the cluster
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["user_id"], 31), pa.int32())
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
         return t.append_column("bucket", b)
 
     def rolling(g: pd.DataFrame) -> pd.DataFrame:
@@ -562,12 +649,46 @@ def q_approx_distinct_users(sf_dir: str):
     return df.rename(columns={"group": "event_type"})
 
 
+# A side is broadcastable when its on-disk size is measurably small; above
+# this the engine switches to the co-partitioned (bucketed) join.  ~256 MB
+# parquet inflates to a few GB in memory — the sane per-worker ceiling.
+BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    import os
+
+    return os.path.getsize(f"{sf_dir}/{table}.parquet")
+
+
+def q_events_asof_bucketed(sf_dir: str):
+    """As-of join via the co-partitioned path (stages/joins.py asof_join):
+    no broadcast of the orders frame — the scale path when orders is a
+    fact table.  Same oracle as events_asof_orders."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    out = asof_join(events, orders, left_ts="ts", right_ts="o_orderdate",
+                    left_by="user_id", right_by="o_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "last_order_date": t["o_orderdate"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event gets the latest o_orderdate <= ts for
-    o_custkey = user_id.  The orders side is broadcast ONCE as a
-    date-sorted frame (worker-local cached); each batch runs a C-speed
-    pandas merge_asof with by-key matching — the bucketed merge_asof is
-    the same dataflow at scale."""
+    o_custkey = user_id.  AUTO-SELECTED plan: broadcast merge_asof while
+    the orders side measures small (worker-local cached, C-speed pandas
+    merge_asof per batch); the co-partitioned asof_join otherwise."""
+    if _table_bytes(sf_dir, "orders") > BROADCAST_MAX_BYTES:
+        return q_events_asof_bucketed(sf_dir)
     import pyarrow.parquet as pq
 
     orders = (pq.read_table(f"{sf_dir}/orders.parquet",
@@ -822,18 +943,35 @@ def _custkeys_with_orders(sf_dir: str):
     return set(t.column("o_custkey").to_pylist())
 
 
+def q_customers_semi_bucketed(sf_dir: str):
+    """SEMI join via the co-partitioned path (stages/joins.py semi_join):
+    no key-set broadcast — the scale path when the right side is a fact
+    table.  Same oracle as customers_with_orders."""
+    from ..stages.joins import semi_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return semi_join(cust, orders, on="c_custkey", right_on="o_custkey")
+
+
 def q_customers_with_orders(sf_dir: str):
     """SEMI join customer ⋉ orders via broadcast key set (no shuffle; the
-    key set is the small side, as the reference's J1 keyword dict)."""
-    keys = ray.put(_custkeys_with_orders(sf_dir))
+    key set is the small side, as the reference's J1 keyword dict).
+    AUTO-SELECTED: falls over to the co-partitioned semi_join when the
+    orders side measures large.  Membership test is a vectorized
+    ``pc.is_in`` against the broadcast key array, not per-row Python."""
+    if _table_bytes(sf_dir, "orders") > BROADCAST_MAX_BYTES:
+        return q_customers_semi_bucketed(sf_dir)
+    keys = ray.put(pa.array(sorted(_custkeys_with_orders(sf_dir)),
+                            pa.int64()))
 
     class Semi:
         def __init__(self):
             self.keys = ray.get(keys)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k in self.keys for k in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            return t.filter(pc.is_in(t["c_custkey"], value_set=self.keys))
 
     return (_read(sf_dir, "customer",
                   columns=["c_custkey", "c_name", "c_nationkey"])
@@ -846,23 +984,42 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
+def q_customers_anti_bucketed(sf_dir: str):
+    """ANTI join via the co-partitioned path.  Same oracle as
+    customers_no_urgent_orders."""
+    from ..stages.joins import semi_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey"])
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"],
+                   filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    return semi_join(cust, urgent, on="c_custkey", right_on="o_custkey",
+                     anti=True)
+
+
 def q_customers_no_urgent_orders(sf_dir: str):
     """ANTI join (the reference's failed-keyword collection seat, J1):
-    broadcast key set of urgent-order custkeys, inverted mask."""
+    broadcast key set of urgent-order custkeys, inverted vectorized
+    ``pc.is_in`` mask.  AUTO-SELECTED: co-partitioned anti join when the
+    orders side measures large."""
     import pyarrow.parquet as pq
 
+    if _table_bytes(sf_dir, "orders") > BROADCAST_MAX_BYTES:
+        return q_customers_anti_bucketed(sf_dir)
     t = pq.read_table(f"{sf_dir}/orders.parquet",
                       columns=["o_custkey", "o_orderpriority"])
     t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
-    keys = ray.put(set(t.column("o_custkey").to_pylist()))
+    keys = ray.put(pa.array(sorted(set(t.column("o_custkey").to_pylist())),
+                            pa.int64()))
 
     class Anti:
         def __init__(self):
             self.keys = ray.get(keys)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            return t.filter(pc.invert(
+                pc.is_in(t["c_custkey"], value_set=self.keys)))
 
     return (_read(sf_dir, "customer",
                   columns=["c_custkey", "c_name", "c_nationkey"])
@@ -994,15 +1151,15 @@ def q_order_priority_exists(sf_dir: str):
         .map_batches(distinct_keys, batch_format="pyarrow")
         .to_pandas()
     )
-    keyset = ray.put(set(keys_df["l_orderkey"].tolist()))
+    keyset = ray.put(pa.array(sorted(keys_df["l_orderkey"].tolist()),
+                              pa.int64()))
 
     class ExistsCount:
         def __init__(self):
             self.keys = ray.get(keyset)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k in self.keys for k in t["o_orderkey"].to_pylist()]
-            t = t.filter(pa.array(mask, pa.bool_()))
+            t = t.filter(pc.is_in(t["o_orderkey"], value_set=self.keys))
             return t.group_by("o_orderpriority").aggregate(
                 [("o_orderkey", "count")])
 
@@ -1199,16 +1356,17 @@ def q_corpus_prep(sf_dir: str):
     # stage 1: exact dedup — broadcast the set of surviving doc_ids
     from ..stages.dedup import exact_dedup
 
-    keep_ids = ray.put(set(
-        exact_dedup(ds).to_pandas()["doc_id"].astype(int).tolist()))
+    keep_ids = ray.put(pa.array(
+        sorted(exact_dedup(ds).to_pandas()["doc_id"].astype(int).tolist()),
+        pa.int64()))
 
     class Survivors:
         def __init__(self):
             self.keep = ray.get(keep_ids)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [int(d) in self.keep for d in t["doc_id"].to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            return t.filter(pc.is_in(t["doc_id"].cast(pa.int64()),
+                                     value_set=self.keep))
 
     # stages 2-3 fused in one vectorized pass: quality gate + split counts
     def prep(t: pa.Table) -> pa.Table:
@@ -1396,6 +1554,10 @@ def queries_registry():
         "distinct_users": q_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
         "events_asof_orders": q_events_asof_orders,
+        "events_asof_bucketed": q_events_asof_bucketed,
+        "revenue_by_nation_bucketed": q_revenue_by_nation_bucketed,
+        "customers_semi_bucketed": q_customers_semi_bucketed,
+        "customers_anti_bucketed": q_customers_anti_bucketed,
         "props_json": q_props_json,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1445,6 +1607,10 @@ def oracle_registry():
         "events_rolling_count": SQL_ROLLING,
         "distinct_users": SQL_DISTINCT_USERS,
         "events_asof_orders": SQL_ASOF,
+        "events_asof_bucketed": SQL_ASOF,
+        "revenue_by_nation_bucketed": SQL_REVENUE_BY_NATION,
+        "customers_semi_bucketed": SQL_SEMI_JOIN,
+        "customers_anti_bucketed": SQL_ANTI_JOIN,
         "props_json": SQL_PROPS_JSON,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,

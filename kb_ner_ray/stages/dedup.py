@@ -41,12 +41,15 @@ import pyarrow as pa
 
 
 def add_content_hash(batch: pa.Table) -> pa.Table:
+    from .partitioning import default_buckets
+
+    n_salt = default_buckets()  # reducer fan-out follows the cluster
     h = [hashlib.md5(t.encode("utf-8")).hexdigest()
          for t in batch.column("text").to_pylist()]
     t = batch.append_column("content_hash", pa.array(h, pa.string()))
-    # coarse shuffle key: 32 salt buckets instead of |distinct hashes|
+    # coarse shuffle key: salt buckets instead of |distinct hashes|
     # groups — per-group dispatch must stay O(buckets), not O(corpus)
-    salt = [int(x[:2], 16) % 32 for x in h]
+    salt = [int(x[:4], 16) % n_salt for x in h]
     return t.append_column("salt", pa.array(salt, pa.int32()))
 
 

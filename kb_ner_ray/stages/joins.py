@@ -13,30 +13,21 @@ exact-oracled via the orders_lineitem_bucketed query.
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 
-
-def _bucket_of(values, n_buckets: int) -> list[int]:
-    out = []
-    for v in values:
-        if isinstance(v, (int,)):
-            h = zlib.crc32(int(v).to_bytes(8, "little", signed=True))
-        else:
-            h = zlib.crc32(str(v).encode("utf-8"))
-        out.append(h % n_buckets)
-    return out
+from .partitioning import bucket_array, default_buckets
 
 
-def hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
+def hash_join(left_ds, right_ds, on: str, n_buckets: int | None = None,
               how: str = "inner"):
     """Dataset x Dataset equi-join on ``on``.
 
     Non-key column names must be disjoint between the sides (no suffixing —
     keep the dataflow explicit).  Returns a Dataset with L ∪ R columns.
     """
+    if n_buckets is None:
+        n_buckets = default_buckets()
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     l_cols = list(left_schema.names)
@@ -62,8 +53,8 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
             names.append("__side")
             arrays.append(pa.array([side] * n, pa.string()))
             names.append("__bucket")
-            arrays.append(pa.array(
-                _bucket_of(t[on].to_pylist(), n_buckets), pa.int32()))
+            arrays.append(pa.array(bucket_array(t[on], n_buckets),
+                                   pa.int32()))
             return pa.Table.from_arrays(arrays, names=names)
         return f
 
@@ -85,4 +76,129 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
         return joined[all_cols]
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
+def _tag_and_bucket(ds, key: str, side: str, cols: list[str],
+                    n_buckets: int):
+    """Project to ``cols``, add __side/__bucket (bucket on ``key``)."""
+    def f(t: pa.Table) -> pa.Table:
+        arrays = [t[c] for c in cols]
+        names = list(cols)
+        names += ["__side", "__bucket"]
+        arrays += [pa.array([side] * t.num_rows, pa.string()),
+                   pa.array(bucket_array(t[key], n_buckets), pa.int32())]
+        return pa.Table.from_arrays(arrays, names=names)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def asof_join(left_ds, right_ds, left_ts: str, right_ts: str,
+              left_by: str, right_by: str,
+              n_buckets: int | None = None, direction: str = "backward"):
+    """Bucketed as-of join — the scale path for "latest right row at or
+    before each left row's timestamp, matched on a by-key".
+
+    Both sides are co-partitioned on ``hash(by_key) % n_buckets`` (every
+    left row and all its candidate right rows land in the same bucket, so
+    the per-bucket ``merge_asof`` is exact), unioned with a side tag, and
+    each bucket runs ONE vectorized ``pd.merge_asof`` after an in-bucket
+    sort.  One all-to-all on the coarse bucket key; no side is broadcast —
+    this replaces the full-right-frame broadcast that round 1 flagged as
+    un-broadcastable at 100 TB.
+
+    Output: left columns + right's non-by columns (``right_ts`` included).
+    Non-key column names must be disjoint.
+    """
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+    types = {**dict(zip(r_schema.names, r_schema.types)),
+             **dict(zip(l_schema.names, l_schema.types))}
+    by_type = dict(zip(l_schema.names, l_schema.types))[left_by]
+    all_cols = l_cols + [c for c in r_cols if c != right_by]
+
+    def widen(side: str, key: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                arrays.append(t[c] if c in t.column_names
+                              else pa.nulls(n, types[c]))
+            names += ["__by", "__side", "__bucket"]
+            arrays += [t[key].cast(by_type),
+                       pa.array([side] * n, pa.string()),
+                       pa.array(bucket_array(t[key], n_buckets), pa.int32())]
+            return pa.Table.from_arrays(arrays, names=names)
+        return f
+
+    tagged = (left_ds.map_batches(widen("L", left_by), batch_format="pyarrow")
+              .union(right_ds.map_batches(widen("R", right_by),
+                                          batch_format="pyarrow")))
+    r_out = [c for c in r_cols if c != right_by]
+    int_cols = [c for c, tp in types.items() if pa.types.is_integer(tp)]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"][l_cols + ["__by"]].sort_values(left_ts)
+        rg = g[g["__side"] == "R"][r_out + ["__by"]].copy()
+        # the null-widened union floats the right ts; restore for merge_asof
+        rg[right_ts] = rg[right_ts].astype(lg[left_ts].dtype)
+        rg = rg.sort_values(right_ts)
+        merged = pd.merge_asof(lg, rg, left_on=left_ts, right_on=right_ts,
+                               by="__by", direction=direction)
+        merged = merged[all_cols]
+        for c in int_cols:  # un-float null-widened integer columns
+            if c in merged.columns and merged[c].notna().all():
+                merged[c] = merged[c].astype("int64")
+        return merged
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
+def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              n_buckets: int | None = None, anti: bool = False):
+    """Bucketed SEMI (or ANTI) join: keep left rows whose key does (not)
+    appear on the right.  Right side is projected to its key column, both
+    sides co-partitioned on ``hash(key) % n_buckets``, per-bucket filter is
+    a vectorized ``isin``.  The scale path for the broadcast key-set semi
+    joins (key sets stop being broadcastable when the right side is a fact
+    table)."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    right_on = right_on or on
+    l_schema = left_ds.schema()
+    l_cols = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays = [t[right_on].cast(l_types[on]) if c == on
+                  else pa.nulls(n, l_types[c]) for c in l_cols]
+        names = list(l_cols) + ["__side", "__bucket"]
+        arrays += [pa.array(["R"] * n, pa.string()),
+                   pa.array(bucket_array(t[right_on], n_buckets), pa.int32())]
+        return pa.Table.from_arrays(arrays, names=names)
+
+    tagged = (_tag_and_bucket(left_ds, on, "L", l_cols, n_buckets)
+              .union(right_ds.select_columns([right_on])
+                     .map_batches(widen_right, batch_format="pyarrow")))
+
+    int_cols = [c for c, tp in l_types.items() if pa.types.is_integer(tp)]
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"]
+        keys = g.loc[g["__side"] == "R", on].unique()
+        keep = lg[on].isin(keys)
+        out = lg.loc[~keep if anti else keep, l_cols].copy()
+        for c in int_cols:  # un-float null-widened integer columns
+            if out[c].notna().all():
+                out[c] = out[c].astype("int64")
+        return out
+
+    return tagged.groupby("__bucket").map_groups(filter_bucket,
                                                  batch_format="pandas")

@@ -38,16 +38,17 @@ def salted_grouped_sum(ds, key: str, value: str, n_salts: int = 16):
         out = g.groupby(key, as_index=False)[f"{value}_sum"].sum()
         return out.rename(columns={f"{value}_sum": "sum"})
 
-    def bucket(t: pa.Table) -> pa.Table:
-        import zlib
+    from .partitioning import bucket_array, default_buckets
 
-        kb = [zlib.crc32(str(k).encode()) % 64
-              for k in t[key].to_pylist()]
-        return t.append_column("__kb", pa.array(kb, pa.int32()))
+    n_kb = default_buckets()  # reducer fan-out follows the cluster
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__kb", pa.array(bucket_array(t[key], n_kb), pa.int32()))
 
     partials = (ds.map_batches(partial, batch_format="pyarrow")
                 .map_batches(bucket, batch_format="pyarrow"))
-    # ONE second exchange on the coarse 64-way key-hash bucket (keys of one
+    # ONE second exchange on the coarse key-hash bucket (keys of one
     # bucket co-locate; the salt dimension collapses vectorized inside)
     return (partials.groupby("__kb")
             .map_groups(lambda g: g.groupby(key, as_index=False)

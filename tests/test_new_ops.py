@@ -256,3 +256,77 @@ def test_salted_grouped_sum_hot_key(ray_session):
     frac = hot_key_fractions(_ray.data.from_arrow(t), "domain", top=1)
     assert frac.iloc[0]["domain"] == "hot.example.com"
     assert frac.iloc[0]["fraction"] > 0.4
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    """Bucketed as-of join == global pandas merge_asof, including by-keys
+    with no right-side rows (nulls) and duplicate right timestamps."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from kb_ner_ray.stages.joins import asof_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({
+        "eid": np.arange(200),
+        "uid": rng.randint(0, 12, 200),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10_000, 200), unit="m"),
+    })
+    right = pd.DataFrame({
+        "ouid": rng.randint(0, 10, 80),  # uids 10,11 have NO right rows
+        "odate": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10_000, 80), unit="m"),
+    })
+    got = asof_join(
+        _ray.data.from_arrow(pa.Table.from_pandas(left)),
+        _ray.data.from_arrow(pa.Table.from_pandas(right)),
+        left_ts="ts", right_ts="odate", left_by="uid", right_by="ouid",
+        n_buckets=4,
+    ).to_pandas().sort_values("eid").reset_index(drop=True)
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("odate"),
+        left_on="ts", right_on="odate", left_by="uid", right_by="ouid",
+        direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["eid", "uid", "ts", "odate"]],
+        want[["eid", "uid", "ts", "odate"]], check_dtype=False)
+
+
+def test_semi_and_anti_join(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray as _ray
+
+    from kb_ner_ray.stages.joins import semi_join
+
+    left = pa.table({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    right = pa.table({"rk": [2, 4, 4, 9]})
+    l_ds = _ray.data.from_arrow(left)
+    r_ds = _ray.data.from_arrow(right)
+    semi = (semi_join(l_ds, r_ds, on="k", right_on="rk", n_buckets=3)
+            .to_pandas().sort_values("k"))
+    assert semi["k"].tolist() == [2, 4]
+    assert semi["v"].tolist() == ["b", "d"]
+    anti = (semi_join(l_ds, r_ds, on="k", right_on="rk", n_buckets=3,
+                      anti=True).to_pandas().sort_values("k"))
+    assert anti["k"].tolist() == [1, 3, 5]
+
+
+def test_bucket_array_deterministic_and_balanced():
+    import numpy as np
+
+    from kb_ner_ray.stages.partitioning import bucket_array
+
+    ints = np.arange(10_000)
+    b1 = bucket_array(ints, 32)
+    b2 = bucket_array(ints, 32)
+    assert (b1 == b2).all()
+    counts = np.bincount(b1, minlength=32)
+    assert counts.min() > 150  # roughly balanced
+    strs = np.array([f"url-{i}" for i in range(1000)], dtype=object)
+    bs = bucket_array(strs, 8)
+    assert bs.min() >= 0 and bs.max() < 8
