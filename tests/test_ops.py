@@ -53,15 +53,38 @@ def test_minhash_jaccard_estimate():
 
 
 def test_minhash_lsh_finds_planted_dups():
+    """Both verification plans (in-band and join) find the planted dups
+    and agree exactly — neither broadcasts corpus text."""
+    from kb_ner_ray.stages.dedup import minhash_lsh_pairs_inband
+
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     texts = [base, base + "lambda", "totally different words here entirely",
              base]  # 0,1,3 near-dups
-    lookup = dict(enumerate(texts))
-    df = minhash_lsh_pairs(_docs_ds(texts), threshold=0.6,
-                           docs_lookup=lookup).to_pandas()
-    pairs = set(map(tuple, df[["doc_a", "doc_b"]].itertuples(index=False)))
-    assert (0, 3) in pairs and (0, 1) in pairs
-    assert not any(2 in p for p in pairs)
+    for fn in (minhash_lsh_pairs_inband, minhash_lsh_pairs):
+        df = fn(_docs_ds(texts), threshold=0.6).to_pandas()
+        pairs = set(map(tuple,
+                        df[["doc_a", "doc_b"]].itertuples(index=False)))
+        assert (0, 3) in pairs and (0, 1) in pairs, fn.__name__
+        assert not any(2 in p for p in pairs), fn.__name__
+
+
+def test_minhash_plans_agree(ray_session):
+    """In-band and join verification produce identical (pair, jaccard)
+    sets on a corpus with graded overlap."""
+    from kb_ner_ray.stages.dedup import minhash_lsh_pairs_inband
+
+    words = [f"tok{i}" for i in range(60)]
+    texts = [" ".join(words),
+             " ".join(words[:55] + ["a", "b", "c", "d", "e"]),
+             " ".join(words[:30] + [f"z{i}" for i in range(30)]),
+             " ".join(words)]
+    a = (minhash_lsh_pairs_inband(_docs_ds(texts), threshold=0.5)
+         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    b = (minhash_lsh_pairs(_docs_ds(texts), threshold=0.5)
+         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_simhash_near_dups():
@@ -115,6 +138,30 @@ def test_near_dup_pairs_symmetric_once():
     ref = ray.put(([0, 1, 2], mat))
     df = near_dup_pairs(_emb_ds(mat), ref, threshold=0.99).to_pandas()
     assert set(map(tuple, df[["vec_a", "vec_b"]].itertuples(index=False))) == {(0, 1)}
+
+
+def test_near_dup_lsh_matches_broadcast():
+    """The one-shuffle hyperplane-LSH plan finds exactly the pairs the
+    exact broadcast baseline finds (planted near-dups + random noise)."""
+    from kb_ner_ray.stages.similarity import near_dup_pairs_lsh
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 64)
+    # plant near-dups: rows 40..49 are tiny perturbations of rows 0..9
+    dups = base[:10] + 0.01 * rng.randn(10, 64)
+    mat = np.vstack([base, dups])
+    ref = ray.put((list(range(len(mat))), mat))
+    want = (near_dup_pairs(_emb_ds(mat), ref, threshold=0.95).to_pandas()
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    got = (near_dup_pairs_lsh(_emb_ds(mat), threshold=0.95).to_pandas()
+           .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    assert len(want) >= 10
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[["vec_a", "vec_b"]], want[["vec_a", "vec_b"]],
+        check_dtype=False)
+    assert np.allclose(got["sim"], want["sim"])
 
 
 def test_fingerprint_normalizes_whitespace_and_case():
