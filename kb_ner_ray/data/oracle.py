@@ -60,16 +60,24 @@ def clean_context(ctx: str) -> str:
 
 def attach_contexts_cached(sentence: str,
                            hits_pre: list[tuple[str, int]],
-                           budget: int = CONTEXT_BUDGET) -> tuple[str, int]:
+                           budget: int = CONTEXT_BUDGET,
+                           min_rank: int = 0,
+                           max_rank: int | None = None) -> tuple[str, int]:
     """Greedy budgeted context stitch (kb/context_process.py:401-479) over
     PRE-CLEANED contexts with precomputed subtoken costs — the KB side is
     fixed per actor, so ``clean_context``/``subtoken_count`` are hoisted to
     actor ``__init__`` (hits_pre = [(clean_ctx, cost), ...] in rank order).
 
+    ``min_rank``/``max_rank`` slice the rank-ordered hit list BEFORE the
+    budget walk (reference ``context = context[min_rank:max_rank]``,
+    kb/context_process.py:365 — the O3 rank-window seat).
+
     Walk hits in rank order; stop early when remaining budget < 10; skip a
     context whose subtoken cost would overflow; append the rest after an
     ``<EOS>`` separator.  Returns (augmented_text, n_contexts_used).
     """
+    if min_rank or max_rank is not None:
+        hits_pre = hits_pre[min_rank:max_rank]
     count = subtoken_count(sentence)
     used: list[str] = []
     for ctx, cost in hits_pre:
@@ -85,14 +93,41 @@ def attach_contexts_cached(sentence: str,
 
 
 def attach_contexts(sentence: str, hits: list[tuple[str, float]],
-                    budget: int = CONTEXT_BUDGET) -> tuple[str, int]:
+                    budget: int = CONTEXT_BUDGET, min_rank: int = 0,
+                    max_rank: int | None = None) -> tuple[str, int]:
     """Uncached wrapper (the oracle path): clean + count inline, then the
     same greedy loop as ``attach_contexts_cached``."""
     pre = []
     for ctx, _score in hits:
         ctx = clean_context(ctx)
         pre.append((ctx, subtoken_count(ctx)))
-    return attach_contexts_cached(sentence, pre, budget)
+    return attach_contexts_cached(sentence, pre, budget,
+                                  min_rank=min_rank, max_rank=max_rank)
+
+
+def entity_merged_hits(text: str, entities: list[str], index,
+                       lang: str | None = None, k: int = TOP_K,
+                       title_boost: float = 2.0) -> list[tuple[int, float]]:
+    """Iterative pass-2 retrieval merge — pinned semantics for the
+    reference's --with_entity second pass (kb/generate_data.py:52-55 title
+    boost 2.0; README.md:276-278 iterative loop).
+
+    One entity-boosted query per pass-1 mention; the per-entity top-k
+    lists are rank-interleaved in mention order (rank-0 hits of every
+    entity first, then rank-1, ...), deduplicated by KB row, truncated to
+    ``k``.  Deterministic given pass-1 mention order."""
+    per_ent = [index.search(text, lang=lang, entity=e, k=k,
+                            title_boost=title_boost) for e in entities]
+    merged: list[tuple[int, float]] = []
+    seen: set[int] = set()
+    for rank in range(k):
+        for hits in per_ent:
+            if rank < len(hits):
+                i, s = hits[rank]
+                if i not in seen:
+                    seen.add(i)
+                    merged.append((i, s))
+    return merged[:k]
 
 
 def run_oracle(pages: pa.Table, kb: pa.Table, gazetteer: pa.Table,

@@ -1345,6 +1345,23 @@ def q_kg_mentions_viterbi(sf_dir: str):
         batch_format="pyarrow", batch_size=_sentences_batch_size(corpus))
 
 
+def q_kg_mentions_iter2(sf_dir: str):
+    """Iterative retrieval closed (reference README.md:276-278): pass-1
+    mentions drive entity-boosted pass-2 retrieval (title boost 2.0),
+    contexts re-attached, sentence re-tagged.  Semantics pinned by the
+    single-process oracle-parity test (tests/test_iter2.py)."""
+    from ..pipelines.kg import (_sentences_batch_size, load_corpus_refs,
+                                sentences_dataset)
+    from ..stages.tagger import retrieve_tag_mentions_iter2
+
+    corpus = _corpus(sf_dir)
+    kb_ref, gaz_ref, _ = load_corpus_refs(corpus)
+    return sentences_dataset(corpus, with_retrieval=False).map_batches(
+        retrieve_tag_mentions_iter2,
+        fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=_sentences_batch_size(corpus))
+
+
 def q_kg_triples(sf_dir: str):
     from ..pipelines.kg import kg_triples
 
@@ -1599,6 +1616,7 @@ def queries_registry():
         "kg_contexts": q_kg_contexts,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_viterbi": q_kg_mentions_viterbi,
+        "kg_mentions_iter2": q_kg_mentions_iter2,
         "kg_triples": q_kg_triples,
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_ensemble": q_kg_ensemble,

@@ -77,9 +77,17 @@ class RetrieveAttach(_KBActorBase):
     ``aug_text`` = sentence [+ " <EOS> " + contexts] under the 510-subtoken
     budget with the reference's greedy skip-on-overflow loop
     (kb/context_process.py:401-479 semantics via oracle.attach_contexts).
+    ``min_rank``/``max_rank`` expose the reference's rank-window slice
+    (kb/context_process.py:365) over the rank-ordered hits.
     """
 
     MEMO_CAP = 200_000
+
+    def __init__(self, kb_ref, min_rank: int = 0,
+                 max_rank: int | None = None):
+        super().__init__(kb_ref)
+        self.min_rank = min_rank
+        self.max_rank = max_rank
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         memo = getattr(self, "_memo", None)
@@ -95,6 +103,7 @@ class RetrieveAttach(_KBActorBase):
                 res = attach_contexts_cached(
                     text,
                     [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits],
+                    min_rank=self.min_rank, max_rank=self.max_rank,
                 )
                 if len(memo) >= self.MEMO_CAP:
                     memo.clear()
@@ -168,14 +177,16 @@ def add_detected_entities(batch: pa.Table, gaz=None) -> pa.Table:
 _RA_STATE: dict = {}  # worker-local: kb_ref -> RetrieveAttach instance
 
 
-def retrieve_attach(batch: pa.Table, kb_ref=None) -> pa.Table:
+def retrieve_attach(batch: pa.Table, kb_ref=None, min_rank: int = 0,
+                    max_rank: int | None = None) -> pa.Table:
     """Plain-task RetrieveAttach: per-worker cached index/memo, no actor
     pool spin-up (same pattern as stages/tagger.retrieve_tag_triples)."""
-    st = _RA_STATE.get(kb_ref)
+    key = (kb_ref, min_rank, max_rank)
+    st = _RA_STATE.get(key)
     if st is None:
         _RA_STATE.clear()
-        st = RetrieveAttach(kb_ref)
-        _RA_STATE[kb_ref] = st
+        st = RetrieveAttach(kb_ref, min_rank=min_rank, max_rank=max_rank)
+        _RA_STATE[key] = st
     return st(batch)
 
 

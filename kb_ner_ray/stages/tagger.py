@@ -38,10 +38,21 @@ class _GazActorBase:
     def _sentence_mentions(self, text: str, aug_text: str | None):
         """Tag the augmented token sequence, keep spans inside the original
         sentence region (context tokens are the reference's B-X/S-X masked
-        region; gen_item stops at <EOS>, ensemble_prediction.py:368)."""
+        region; gen_item stops at <EOS>, ensemble_prediction.py:368).
+
+        Sequences longer than the 510-token model window go through the
+        sliding-window path (functions/windows.py, flair
+        embeddings.py:2960-2969 semantics) instead of being dropped."""
+        from ..functions.spans import decode_bioes
+        from ..functions.windows import WINDOW, tag_tokens_windowed
+
         tokens = text.split()
         aug_tokens = aug_text.split() if aug_text is not None else tokens
-        spans = self.gaz.mentions_via_codec(aug_tokens)
+        if len(aug_tokens) > WINDOW:
+            spans = decode_bioes(
+                tag_tokens_windowed(aug_tokens, self.gaz.tag_tokens))
+        else:
+            spans = self.gaz.mentions_via_codec(aug_tokens)
         return tokens, [s for s in spans if s[1] <= len(tokens)]
 
 
@@ -536,6 +547,62 @@ def retrieve_tag_mentions(batch: pa.Table, kb_ref=None, gaz_ref=None) -> pa.Tabl
         _TM_STATE.clear()
         st = RetrieveTagMentions(gaz_ref, kb_ref)
         _TM_STATE[key] = st
+    return st(batch)
+
+
+class RetrieveTagMentionsIter2(RetrieveTagMentions):
+    """The reference's ITERATIVE retrieval loop closed (README.md:276-278;
+    kb/generate_data.py:52-55): pass 1 retrieves + tags; detected mention
+    surfaces become entity-boosted queries (title boost 2.0); the merged
+    pass-2 contexts are re-attached and the sentence re-tagged.  Sentences
+    with no pass-1 mentions keep their pass-1 result (the reference falls
+    back to plain retrieval there).  Per-sentence semantics pinned by
+    ``data/oracle.py entity_merged_hits`` + the oracle-parity test."""
+
+    def _sentence_mentions_rows(self, text: str, lang: str | None) -> list:
+        from ..data.oracle import entity_merged_hits
+
+        # ---- pass 1: plain retrieval + tag
+        hits1 = self.index.search(text, lang=lang, k=TOP_K)
+        aug1, _n = attach_contexts_cached(
+            text, [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits1])
+        tokens, spans1 = self._sentence_mentions(text, aug1)
+        entities = [" ".join(tokens[s:e]) for s, e, _l, _sc in spans1]
+        if entities:
+            # ---- pass 2: entity-boosted retrieval, re-attach, re-tag
+            hits2 = entity_merged_hits(text, entities, self.index,
+                                       lang=lang, k=TOP_K)
+            aug2, _n2 = attach_contexts_cached(
+                text,
+                [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits2])
+            tokens, spans = self._sentence_mentions(text, aug2)
+        else:
+            spans = spans1
+        out = []
+        sent_set = None
+        for start, end, label, score in spans:
+            surf = tokens[start:end]
+            if sent_set is None and len(
+                    self.gaz.candidates.get(tuple(surf), ())) > 1:
+                sent_set = set(analyze(" ".join(tokens)))
+            ent = link_mention(tuple(surf), tokens, self.gaz,
+                               self.ent_def_tokens, sent_set=sent_set)
+            out.append((start, end, " ".join(surf), label, score, ent))
+        return out
+
+
+_TI2_STATE: dict = {}
+
+
+def retrieve_tag_mentions_iter2(batch: pa.Table, kb_ref=None,
+                                gaz_ref=None) -> pa.Table:
+    """Plain-task fused iterative-pass-2 mentions stage."""
+    key = (kb_ref, gaz_ref)
+    st = _TI2_STATE.get(key)
+    if st is None:
+        _TI2_STATE.clear()
+        st = RetrieveTagMentionsIter2(gaz_ref, kb_ref)
+        _TI2_STATE[key] = st
     return st(batch)
 
 

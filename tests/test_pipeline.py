@@ -169,3 +169,20 @@ def test_order_independence(ray_session, tmp_path):
         outs.append(kg_triples(str(d)).to_pandas()[key]
                     .sort_values(key).reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_attach_rank_window():
+    """min_rank/max_rank slice the rank-ordered hits before the budget
+    walk (reference kb/context_process.py:365)."""
+    from kb_ner_ray.data.oracle import attach_contexts
+
+    hits = [(f"ctx{i} words here", 1.0) for i in range(6)]
+    full, n_full = attach_contexts("a sentence", hits)
+    sliced, n_sliced = attach_contexts("a sentence", hits, min_rank=2,
+                                       max_rank=4)
+    assert n_full == 6 and n_sliced == 2
+    assert "ctx2" in sliced and "ctx3" in sliced
+    assert "ctx0" not in sliced and "ctx4" not in sliced
+    # empty window -> bare sentence, zero contexts
+    bare, n0 = attach_contexts("a sentence", hits, min_rank=6)
+    assert bare == "a sentence" and n0 == 0
