@@ -146,7 +146,8 @@ def sentences_dataset(corpus: str, parallelism: int | None = None,
 
 
 def kg_triples(corpus: str, parallelism: int | None = None,
-               with_retrieval: bool = True, concurrency=None):
+               with_retrieval: bool = True, concurrency=None,
+               checkpoint_dir: str | None = None):
     """Full pipeline; returns the final triples Dataset.
 
     Retrieval + attach + tag + link + triple-emit run FUSED in one actor
@@ -183,9 +184,22 @@ def kg_triples(corpus: str, parallelism: int | None = None,
             concurrency=concurrency or _default_concurrency(),
             num_cpus=1,
         )
-    # raw triples are output-sized (two consumers: counts + apply), so a
-    # materialize here is bounded and avoids recomputing the whole pipeline
-    raw = raw.materialize()
+    # raw triples are output-sized with two consumers (counts + apply).
+    # Default: object-store materialize (bounded at bench scale, fastest).
+    # checkpoint_dir: stream raw triples to parquet and read back — the
+    # 100-TB path where even output-sized data should spill to storage,
+    # and what run_resumable does per partition (pipelines/run.py).
+    if checkpoint_dir is not None:
+        import shutil
+
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        raw.write_parquet(checkpoint_dir)
+        raw = ray.data.read_parquet(checkpoint_dir)
+    else:
+        raw = raw.materialize()
     canon = compute_canonical_map(raw, ent_title)
     canon_ref = ray.put(canon)
     return raw.map_batches(

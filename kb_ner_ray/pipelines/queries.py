@@ -1345,6 +1345,21 @@ def q_kg_mentions_viterbi(sf_dir: str):
         batch_format="pyarrow", batch_size=_sentences_batch_size(corpus))
 
 
+def q_kg_contexts_reranked(sf_dir: str):
+    """Retrieve-then-rerank contexts (stages/reranker.py): BM25 fetch_k=30
+    candidates rescored by the deterministic BERTScore stand-in (greedy
+    token F1), top-10 re-ranked.  The scorer seam takes a cross-encoder in
+    a GPU deployment."""
+    from ..pipelines.kg import load_corpus_refs, sentences_dataset
+    from ..stages.reranker import rerank_contexts
+
+    corpus = _corpus(sf_dir)
+    kb_ref, _gaz_ref, _ = load_corpus_refs(corpus)
+    return sentences_dataset(corpus, with_retrieval=False).map_batches(
+        rerank_contexts, fn_kwargs={"kb_ref": kb_ref},
+        batch_format="pyarrow", batch_size=512)
+
+
 def q_kg_mentions_iter2(sf_dir: str):
     """Iterative retrieval closed (reference README.md:276-278): pass-1
     mentions drive entity-boosted pass-2 retrieval (title boost 2.0),
@@ -1617,6 +1632,7 @@ def queries_registry():
         "kg_mentions": q_kg_mentions,
         "kg_mentions_viterbi": q_kg_mentions_viterbi,
         "kg_mentions_iter2": q_kg_mentions_iter2,
+        "kg_contexts_reranked": q_kg_contexts_reranked,
         "kg_triples": q_kg_triples,
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_ensemble": q_kg_ensemble,

@@ -30,7 +30,7 @@ from ..state.manifest import (
     input_fingerprint,
     partition_done,
     read_manifests,
-    write_partition,
+    write_partition_streamed,
 )
 from .kg import load_corpus_refs
 
@@ -44,22 +44,19 @@ def _partition_files(corpus: str, n_partitions: int) -> list[list[str]]:
     return groups
 
 
-def _raw_triples_for_files(files: list[str], kb_ref, gaz_ref,
-                           concurrency) -> pa.Table:
-    ds = (
+def _raw_triples_ds(files: list[str], kb_ref, gaz_ref, concurrency):
+    """Lazy partition pipeline — consumed ONLY by the streaming partition
+    writer; a partition's triples never ride through the driver."""
+    return (
         ray.data.read_parquet(files, columns=["url", "warc_ts", "html", "lang"])
         .map_batches(extract_pages, batch_format="pyarrow")
         .map_batches(explode_sentences, batch_format="pyarrow")
         .map_batches(RetrieveTagTriples,
                      fn_constructor_kwargs={"gaz_ref": gaz_ref,
                                             "kb_ref": kb_ref},
-                     batch_format="pyarrow", batch_size=128,
+                     batch_format="pyarrow", batch_size=1024,
                      concurrency=concurrency)
     )
-    tables = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-    if not tables:
-        return pa.table({})
-    return pa.concat_tables(tables)
 
 
 def run_resumable(corpus: str, out_dir: str, n_partitions: int = 8,
@@ -75,21 +72,13 @@ def run_resumable(corpus: str, out_dir: str, n_partitions: int = 8,
         if partition_done(raw_dir, part_id, fp):
             skipped.append(part_id)
             continue
-        table = _raw_triples_for_files(files, kb_ref, gaz_ref, concurrency)
-        counters = {
-            "n_raw_triples": table.num_rows,
-            "n_input_files": len(files),
-            "n_linked_sides": int(
-                sum(1 for e in table.column("subj_ent").to_pylist() if e >= 0)
-                + sum(1 for e in table.column("obj_ent").to_pylist() if e >= 0)
-            ) if table.num_rows else 0,
-        }
-        write_partition(raw_dir, part_id, table, fp, counters)
+        ds = _raw_triples_ds(files, kb_ref, gaz_ref, concurrency)
+        write_partition_streamed(raw_dir, part_id, ds, fp)
         computed.append(part_id)
 
     # global canonicalization over all checkpointed raw triples
     raw_ds = ray.data.read_parquet(
-        sorted(glob.glob(raw_dir + "/part=*/data.parquet")))
+        sorted(glob.glob(raw_dir + "/part=*/*.parquet")))
     canon = compute_canonical_map(raw_ds, ent_title)
     final = raw_ds.map_batches(
         apply_canonical, fn_kwargs={"canon_ref": ray.put(canon)},

@@ -186,3 +186,39 @@ def test_attach_rank_window():
     # empty window -> bare sentence, zero contexts
     bare, n0 = attach_contexts("a sentence", hits, min_rank=6)
     assert bare == "a sentence" and n0 == 0
+
+
+def test_edit_distance_and_score_edit():
+    from kb_ner_ray.stages.reranker import _edit_distance, score_edit_pairs
+
+    assert _edit_distance("kitten", "sitting") == 3
+    assert _edit_distance("", "abc") == 3
+    assert _edit_distance("same", "same") == 0
+    # reference formula: 1 - d / max(len)
+    s = score_edit_pairs("abcd", ["abcd", "abcx", "zzzz"])
+    assert s[0] == 1.0 and s[1] == 0.75 and s[2] == 0.0
+    # 200-word truncation engages (reference :40-43)
+    long_cand = " ".join(["w"] * 300)
+    trunc = " ".join(["w"] * 200)
+    want = 1.0 - _edit_distance(trunc, "w") / len(trunc)
+    assert score_edit_pairs("w", [long_cand])[0] == want
+
+
+def test_reranked_retriever_orders_by_scorer(tiny_corpus, refs, ray_session):
+    from kb_ner_ray.stages.reranker import rerank_contexts
+
+    out = (_sentences_ds(tiny_corpus)
+           .map_batches(rerank_contexts,
+                        fn_kwargs={"kb_ref": refs["kb_ref"]},
+                        batch_format="pyarrow")
+           .to_pandas())
+    assert len(out) > 0
+    assert set(out.columns) == {"url", "sent_id", "rank", "kb_id",
+                                "bm25_score", "rerank_score",
+                                "kb_sentence", "kb_title"}
+    # per query: ranks contiguous from 0 and rerank_score non-increasing
+    for (_u, _s), g in out.groupby(["url", "sent_id"]):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(len(g)))
+        assert (g["rerank_score"].diff().dropna() <= 1e-6).all()
+        assert len(g) <= 10
