@@ -101,18 +101,55 @@ def _stage_explode(ds, ctx, **_):
 
 
 @register("filter_length")
-def _stage_filter_length(ds, ctx, max_tokens: int = 510, train: bool = True):
+def _stage_filter_length(ds, ctx, max_tokens: int = 510, train: bool = True,
+                         mode: str = "drop"):
     from ..stages.sentences import filter_by_length
 
-    return filter_by_length(ds, max_tokens=max_tokens, train=train)
+    return filter_by_length(ds, max_tokens=max_tokens, train=train,
+                            mode=mode)
 
 
 @register("retrieve_attach")
-def _stage_retrieve_attach(ds, ctx, batch_size: int = 512):
+def _stage_retrieve_attach(ds, ctx, batch_size: int = 512,
+                           min_rank: int = 0, max_rank: int | None = None):
     from ..stages.retriever import retrieve_attach
 
     kb_ref, _gaz_ref, _ = ctx.refs()
-    return ds.map_batches(retrieve_attach, fn_kwargs={"kb_ref": kb_ref},
+    return ds.map_batches(retrieve_attach,
+                          fn_kwargs={"kb_ref": kb_ref,
+                                     "min_rank": min_rank,
+                                     "max_rank": max_rank},
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+@register("mentions")
+def _stage_mentions(ds, ctx, batch_size: int = 512, backend: str = "trie"):
+    """Fused retrieve+tag+link mentions; ``backend``: trie | viterbi |
+    iter2 (entity-boosted second retrieval pass)."""
+    from ..stages.tagger import (
+        retrieve_tag_mentions,
+        retrieve_tag_mentions_iter2,
+        retrieve_tag_mentions_viterbi,
+    )
+
+    fn = {"trie": retrieve_tag_mentions,
+          "viterbi": retrieve_tag_mentions_viterbi,
+          "iter2": retrieve_tag_mentions_iter2}[backend]
+    kb_ref, gaz_ref, _ = ctx.refs()
+    return ds.map_batches(fn,
+                          fn_kwargs={"gaz_ref": gaz_ref, "kb_ref": kb_ref},
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+@register("rerank_contexts")
+def _stage_rerank_contexts(ds, ctx, batch_size: int = 512, k: int = 10,
+                           fetch_k: int = 30):
+    from ..stages.reranker import rerank_contexts
+
+    kb_ref, _gaz_ref, _ = ctx.refs()
+    return ds.map_batches(rerank_contexts,
+                          fn_kwargs={"kb_ref": kb_ref, "k": k,
+                                     "fetch_k": fetch_k},
                           batch_format="pyarrow", batch_size=batch_size)
 
 

@@ -151,7 +151,8 @@ def candidate_pairs_from_band(group: pd.DataFrame,
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
                 b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+    return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
+                         "doc_b": np.array(b, dtype=np.int64)})
 
 
 def shingle_signatures(batch: pa.Table) -> pa.Table:
@@ -233,7 +234,13 @@ def verified_pairs_from_band(group: pd.DataFrame, threshold: float,
                 jac = inter / denom if denom else 0.0
                 if jac >= threshold:
                     rows.append((ids[i], ids[j], jac))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    # explicit dtypes: an empty object-typed frame trips Ray's block-size
+    # estimator ("cannot call `vectorize` on size 0 inputs")
+    return pd.DataFrame({
+        "doc_a": np.array([r[0] for r in rows], dtype=np.int64),
+        "doc_b": np.array([r[1] for r in rows], dtype=np.int64),
+        "jaccard": np.array([r[2] for r in rows], dtype=np.float64),
+    })
 
 
 def minhash_lsh_pairs_inband(docs_ds, threshold: float = 0.8):

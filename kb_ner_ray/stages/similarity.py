@@ -286,7 +286,10 @@ def _verified_pairs_from_lsh_band(group: pd.DataFrame, threshold: float,
             a_out.append(ids[i])
             b_out.append(ids[j])
             s_out.append(sims[i, j])
-    return pd.DataFrame({"vec_a": a_out, "vec_b": b_out, "sim": s_out})
+    # explicit dtypes: empty object-typed frames trip Ray's size estimator
+    return pd.DataFrame({"vec_a": np.array(a_out, dtype=np.int64),
+                         "vec_b": np.array(b_out, dtype=np.int64),
+                         "sim": np.array(s_out, dtype=np.float64)})
 
 
 def near_dup_pairs_lsh(emb_ds, threshold: float = 0.95):

@@ -15,7 +15,15 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from ..data.oracle import TOP_K, attach_contexts_cached, link_mention
+from ..data.oracle import (
+    TOP_K,
+    attach_contexts_cached,
+    entity_merged_hits,
+    link_mention,
+)
+from ..functions.viterbi import viterbi_decode
+from ..functions.spans import decode_bioes
+from ..functions.windows import WINDOW, tag_tokens_windowed
 from ..state.bm25 import analyze
 from ..state.gazetteer import Gazetteer
 
@@ -43,9 +51,6 @@ class _GazActorBase:
         Sequences longer than the 510-token model window go through the
         sliding-window path (functions/windows.py, flair
         embeddings.py:2960-2969 semantics) instead of being dropped."""
-        from ..functions.spans import decode_bioes
-        from ..functions.windows import WINDOW, tag_tokens_windowed
-
         tokens = text.split()
         aug_tokens = aug_text.split() if aug_text is not None else tokens
         if len(aug_tokens) > WINDOW:
@@ -291,7 +296,7 @@ class ViterbiCodec:
         self.stop = self.idx[STOP_TAG]
 
     def emissions(self, tag_seq: list[str]):
-        import numpy as np
+        import numpy as np  # noqa: hoisted below module import for clarity
 
         em = np.zeros((len(tag_seq), len(self.tags)), dtype=np.float64)
         em[np.arange(len(tag_seq)),
@@ -299,8 +304,6 @@ class ViterbiCodec:
         return em
 
     def decode(self, emissions) -> tuple[list[str], list[float]]:
-        from ..functions.viterbi import viterbi_decode
-
         conf, path, _ = viterbi_decode(emissions, self.trans,
                                        self.start, self.stop)
         return [self.tags[i] for i in path], conf
@@ -326,8 +329,6 @@ class _ViterbiMentionsMixin:
         return vc
 
     def _sentence_mentions(self, text: str, aug_text: str | None):
-        from ..functions.spans import decode_bioes
-
         tokens = text.split()
         aug_tokens = aug_text.split() if aug_text is not None else tokens
         vc = self._viterbi_codec()
@@ -560,8 +561,6 @@ class RetrieveTagMentionsIter2(RetrieveTagMentions):
     ``data/oracle.py entity_merged_hits`` + the oracle-parity test."""
 
     def _sentence_mentions_rows(self, text: str, lang: str | None) -> list:
-        from ..data.oracle import entity_merged_hits
-
         # ---- pass 1: plain retrieval + tag
         hits1 = self.index.search(text, lang=lang, k=TOP_K)
         aug1, _n = attach_contexts_cached(

@@ -64,3 +64,52 @@ def test_register_custom_stage(ray_session, corpus_dir_small):
     cfg = PipelineConfig(input_path=corpus_dir_small + "/pages",
                          stages=[StageConfig("take3")])
     assert build_pipeline(cfg).count() == 3
+
+
+def test_config_mentions_backends(tmp_path, ray_session):
+    """The mentions stage exposes trie/viterbi/iter2 backends; trie and
+    viterbi agree exactly through the YAML-built pipeline."""
+    from kb_ner_ray.data.synth import corpus_dir
+    from kb_ner_ray.pipelines.config import PipelineConfig, build_pipeline
+
+    corpus = corpus_dir(0.001)
+
+    def build(backend):
+        cfg = PipelineConfig.from_dict({
+            "input": corpus + "/pages",
+            "corpus": corpus,
+            "stages": [
+                {"name": "extract"},
+                {"name": "explode"},
+                {"name": "mentions", "params": {"backend": backend}},
+            ],
+        })
+        return build_pipeline(cfg).to_pandas()
+
+    trie = build("trie")
+    vit = build("viterbi")
+    key = ["url", "sent_id", "start_tok", "end_tok", "label", "ent_id"]
+    a = trie[key].sort_values(key).reset_index(drop=True)
+    b = vit[key].sort_values(key).reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
+    it2 = build("iter2")
+    assert len(it2) > 0
+
+
+def test_config_rerank_stage(ray_session):
+    from kb_ner_ray.data.synth import corpus_dir
+    from kb_ner_ray.pipelines.config import PipelineConfig, build_pipeline
+
+    corpus = corpus_dir(0.001)
+    cfg = PipelineConfig.from_dict({
+        "input": corpus + "/pages",
+        "corpus": corpus,
+        "stages": [
+            {"name": "extract"},
+            {"name": "explode"},
+            {"name": "rerank_contexts", "params": {"k": 5, "fetch_k": 15}},
+        ],
+    })
+    df = build_pipeline(cfg).to_pandas()
+    assert len(df) > 0
+    assert df.groupby(["url", "sent_id"])["rank"].max().max() <= 4
