@@ -80,28 +80,24 @@ def _memo_shards(corpus: str, k: int = 4) -> list:
     return hit
 
 
-# Average sentences produced per page by the extract+explode stages (synth
-# corpus measures ~9.3 at every sf; a production deployment would sample).
-_SENTS_PER_PAGE_EST = 9
-
-
 def _sentences_batch_size(corpus: str) -> int:
-    """SENTENCES per batch for the fused heavy stage.
+    """batch_size for the fused read->extract->explode->heavy chain.
 
-    ``map_batches(batch_size=N)`` counts the operator's OWN input rows —
-    sentences after explode_sentences — even when the operator fuses with
-    the read (verified empirically: a fused downstream op still re-batches
-    its own input stream); it also drives input-block BUNDLING, so it sets
-    task granularity.  Fresh-process A/B at sf0.1/32cpus: 256 sentences
-    3.9s, 93 4.2s, 843 4.8s, 1024+ ~5.9s — ~12 task waves/CPU wins (small
-    enough for load balance, big enough to amortize dispatch).  Clamped so
-    giant corpora keep bounded task sizes and tiny ones don't
-    over-fragment.  Parquet metadata gives page counts without reading
-    data.  The clamp bounds live on the PER-TASK size, not the task count:
-    a low cap would make task count corpus-proportional instead of
-    cluster-proportional, so the driver's serial dispatch cost grows with
-    data (measured: a 1024 cap at sf2.0 collapsed 4->16 CPU scaling from
-    0.83 to 0.73)."""
+    Two distinct effects (both verified empirically):
+
+    * TASK GRANULARITY - input-block BUNDLING counts the fused chain's
+      INPUT rows (pages): tasks get ~batch_size pages each.  This is the
+      dominant knob: ``ds.stats()`` at sf2.0/16cpu showed a 52-task run
+      (3.2 waves) losing ~20% wall to the last-wave straggler tail.
+    * SLICING - each inner map re-batches its own input rows (sentences
+      after explode), so per-batch overhead inside a task also follows
+      this value.
+
+    Target ~12 page-bundles per CPU, clamped: the floor keeps tiny corpora
+    from over-fragmenting (sf0.1/32cpu A/B: 256 pages 3.9s vs 93 pages
+    4.2s vs 843 4.8s); the ceiling keeps per-task work bounded on small
+    clusters (sf2.0/4cpu: 2048 pages 127.5s vs 4096+ 137-155s).  Parquet
+    metadata gives page counts without reading data."""
     import glob
 
     try:
@@ -111,8 +107,7 @@ def _sentences_batch_size(corpus: str) -> int:
     n_pages = 0
     for f in glob.glob(corpus + "/pages/*.parquet"):
         n_pages += pq.ParquetFile(f).metadata.num_rows
-    n_sents = n_pages * _SENTS_PER_PAGE_EST
-    return int(max(128, min(4096, n_sents // (total * 12))))
+    return int(max(256, min(2048, n_pages // (total * 12))))
 
 
 def _default_concurrency() -> tuple[int, int]:
@@ -141,8 +136,8 @@ def sentences_dataset(corpus: str, parallelism: int | None = None,
     )
     if with_retrieval:
         assert kb_ref is not None
-        # batch_size is in SENTENCES (the operator's own input rows);
-        # plain tasks + worker-local cached index (stages/retriever.py)
+        # batch_size bundles input pages into tasks (see
+        # _sentences_batch_size); plain tasks + worker-local cached index
         sents = sents.map_batches(
             retrieve_attach,
             fn_kwargs={"kb_ref": kb_ref},
@@ -165,10 +160,10 @@ def kg_triples(corpus: str, parallelism: int | None = None,
     kb_ref, gaz_ref, ent_title = load_corpus_refs(corpus)
     if with_retrieval:
         sents = sentences_dataset(corpus, parallelism, with_retrieval=False)
-        # batch_size counts SENTENCES (the operator's own input rows, even
-        # fused; task granularity comes from the read's block count).
-        # Plain tasks + worker-local cached state: parallelism follows the
-        # cluster with no per-run actor-pool spin-up (see stages/tagger.py).
+        # batch_size bundles input pages into tasks and slices the inner
+        # sentence stream (see _sentences_batch_size).  Plain tasks +
+        # worker-local cached state: parallelism follows the cluster with
+        # no per-run actor-pool spin-up (see stages/tagger.py).
         # Plain per-worker memo (shards=None): measured fastest at >=32
         # workers — the sharded cluster-wide memo (pass
         # shards=_memo_shards(corpus)) pays more in cache-RPC wait than it

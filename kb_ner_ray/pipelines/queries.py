@@ -1584,6 +1584,28 @@ def q_multimodal_image_features(sf_dir: str):
         rd.from_arrow(make_fake_images(n)), allow_fake=True)
 
 
+def q_multimodal_audio_features(sf_dir: str):
+    """Audio featurization plumbing (decode honestly stubbed): binary
+    audio rows -> rms / zero-crossing / band-energy vectors."""
+    from ..data.synth import sf_dir_to_sf
+    from ..stages.multimodal import audio_feature_pipeline, make_fake_audio
+
+    n = max(64, int(2560 * sf_dir_to_sf(sf_dir)))
+    return audio_feature_pipeline(
+        rd.from_arrow(make_fake_audio(n)), allow_fake=True)
+
+
+def q_multimodal_video_frames(sf_dir: str):
+    """Video frame-sample plumbing (decode honestly stubbed): binary video
+    rows -> k evenly-sampled frames -> per-frame stats."""
+    from ..data.synth import sf_dir_to_sf
+    from ..stages.multimodal import make_fake_videos, video_frame_pipeline
+
+    n = max(32, int(1280 * sf_dir_to_sf(sf_dir)))
+    return video_frame_pipeline(
+        rd.from_arrow(make_fake_videos(n)), k=4, allow_fake=True)
+
+
 def queries_registry():
     return {
         "pricing_summary": q_pricing_summary,
@@ -1638,6 +1660,8 @@ def queries_registry():
         "kg_ensemble": q_kg_ensemble,
         "kg_distant_supervision": q_kg_distant_supervision,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
     }
 
 

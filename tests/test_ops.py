@@ -225,3 +225,41 @@ def test_multimodal_pipeline_and_resize():
     thumbs = ImageResize(target=8, allow_fake=True)(make_fake_images(3))
     assert thumbs.num_rows == 3
     assert all(len(t) == 64 for t in thumbs.column("thumb").to_pylist())
+
+
+def test_audio_plumbing(ray_session):
+    from kb_ner_ray.stages.multimodal import (
+        _decode_audio,
+        audio_feature_pipeline,
+        make_fake_audio,
+    )
+
+    t = make_fake_audio(24)
+    with pytest.raises(NotImplementedError):
+        _decode_audio(t.column("content")[0].as_py())
+    df = audio_feature_pipeline(ray.data.from_arrow(t),
+                                allow_fake=True).to_pandas()
+    assert len(df) == 24
+    assert (df["rms"] > 0).all()
+    for bands in df["band_energy"]:
+        assert len(bands) == 8
+        assert abs(sum(bands) - 1.0) < 1e-9
+
+
+def test_video_frame_sample(ray_session):
+    from kb_ner_ray.stages.multimodal import (
+        _decode_video,
+        make_fake_videos,
+        video_frame_pipeline,
+    )
+
+    t = make_fake_videos(8)
+    with pytest.raises(NotImplementedError):
+        _decode_video(t.column("content")[0].as_py())
+    df = video_frame_pipeline(ray.data.from_arrow(t), k=4,
+                              allow_fake=True).to_pandas()
+    # k frames per video (every fake video has >= 8 frames)
+    assert len(df) == 8 * 4
+    counts = df.groupby("media_id")["frame_idx"].nunique()
+    assert (counts == 4).all()
+    assert (df.groupby("media_id")["frame_idx"].min() == 0).all()
