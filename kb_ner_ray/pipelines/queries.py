@@ -506,6 +506,115 @@ SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
+def q_events_lead_lag(sf_dir: str):
+    """Per-user lead/lag window: seconds since the user's previous event
+    and until the next (NULL-free: -1 sentinel at the edges to keep the
+    hash dtype-stable).  Same one-shuffle coarse user-hash bucket plan as
+    sessionize; fully vectorized per bucket (sort + shift)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    mask = _pow2_buckets() - 1  # fan-out follows the cluster
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
+        return t.append_column("bucket", b)
+
+    def lead_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same_prev = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        same_next = g["user_id"].eq(g["user_id"].shift(-1)).to_numpy()
+        # exact integer microseconds (timestamps carry sub-second parts;
+        # float total_seconds would round differently than the oracle)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        prev_gap = np.empty_like(us)
+        prev_gap[1:] = us[1:] - us[:-1]
+        prev_gap[0] = -1
+        next_gap = np.empty_like(us)
+        next_gap[:-1] = us[1:] - us[:-1]
+        next_gap[-1] = -1
+        out = g[["event_id", "user_id"]].copy()
+        out["us_since_prev"] = np.where(same_prev, prev_gap, -1)
+        out["us_to_next"] = np.where(same_next, next_gap, -1)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lead_lag, batch_format="pandas"))
+
+
+SQL_LEAD_LAG = """
+SELECT event_id, user_id,
+       CAST(coalesce(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts), -1) AS BIGINT) AS us_since_prev,
+       CAST(coalesce(date_diff('microsecond', ts,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+            -1) AS BIGINT) AS us_to_next
+FROM events
+"""
+
+
+def q_nation_median_acctbal(sf_dir: str):
+    """Grouped HOLISTIC aggregate (exact median) — not combiner-friendly,
+    so the plan is groupby(key).map_groups with an in-group vectorized
+    quantile; group count (25 nations) bounds the reduce.  For a
+    high-cardinality key this becomes the salted two-phase plan in
+    stages/skew.py with a t-digest-style partial — exact median needs the
+    group co-located."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_nationkey": [np.int64(g["c_nationkey"].iloc[0])],
+            "median_acctbal": _cents([g["c_acctbal"].median()]),
+            "n_customers": [np.int64(len(g))],
+        })
+
+    return (ds.groupby("c_nationkey")
+            .map_groups(med, batch_format="pandas"))
+
+
+SQL_NATION_MEDIAN = """
+SELECT c_nationkey,
+       CAST(FLOOR(median(c_acctbal) * 100 + 0.5) AS BIGINT)
+           AS median_acctbal,
+       count(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_doc_token_explode(sf_dir: str):
+    """UNNEST/explode seat with an exact oracle: one row per (doc_id,
+    position, token) over whitespace-split document text — the engine-side
+    flat_map shape (vectorized repeat + concat, no per-row Python beyond
+    the split) vs DuckDB unnest."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_numpy()
+        toks_per_doc = [s.split() for s in t["text"].to_pylist()]
+        counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+        flat = [w for toks in toks_per_doc for w in toks]
+        pos = np.concatenate([np.arange(1, c + 1) for c in counts]) \
+            if len(counts) else np.array([], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, counts), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "token": pa.array(flat, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_TOKEN_EXPLODE = """
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents)
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1584,6 +1693,20 @@ def q_multimodal_image_features(sf_dir: str):
         rd.from_arrow(make_fake_images(n)), allow_fake=True)
 
 
+def q_heavy_hitters_events(sf_dir: str):
+    """Misra-Gries top-10 heavy hitters over event_type (mergeable-summary
+    combiner; rows-only — MG estimates are lower bounds, pinned exactly by
+    tests/test_sketch.py against a straight-line MG oracle)."""
+    from ..stages.sketch import heavy_hitters
+
+    df = heavy_hitters(
+        _read(sf_dir, "events", columns=["event_type"]),
+        "event_type", m=64, k=10)
+    df["est_count"] = df["est_count"].astype(np.int64)
+    df["err_bound"] = df["err_bound"].astype(np.int64)
+    return df
+
+
 def q_multimodal_audio_features(sf_dir: str):
     """Audio featurization plumbing (decode honestly stubbed): binary
     audio rows -> rms / zero-crossing / band-energy vectors."""
@@ -1618,8 +1741,12 @@ def queries_registry():
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_rolling_count": q_events_rolling_count,
+        "events_lead_lag": q_events_lead_lag,
+        "nation_median_acctbal": q_nation_median_acctbal,
+        "doc_token_explode": q_doc_token_explode,
         "distinct_users": q_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
+        "heavy_hitters_events": q_heavy_hitters_events,
         "events_asof_orders": q_events_asof_orders,
         "events_asof_bucketed": q_events_asof_bucketed,
         "revenue_by_nation_bucketed": q_revenue_by_nation_bucketed,
@@ -1677,6 +1804,9 @@ def oracle_registry():
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_SESSIONIZE,
         "events_rolling_count": SQL_ROLLING,
+        "events_lead_lag": SQL_LEAD_LAG,
+        "nation_median_acctbal": SQL_NATION_MEDIAN,
+        "doc_token_explode": SQL_TOKEN_EXPLODE,
         "distinct_users": SQL_DISTINCT_USERS,
         "events_asof_orders": SQL_ASOF,
         "events_asof_bucketed": SQL_ASOF,

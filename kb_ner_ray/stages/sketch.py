@@ -78,6 +78,90 @@ def kmv_partial(batch: pa.Table, column: str = "", group_by: str | None = None,
                      "h": pa.array(hs, pa.int64())})
 
 
+class MGSketch:
+    """Misra-Gries heavy-hitters summary (capacity m counters).
+
+    Guarantee: for every value v, ``count(v) - N/m <= est(v) <= count(v)``
+    where N is the stream length.  Summaries MERGE (Agarwal et al. 2012,
+    "Mergeable summaries"): sum matching counters, then subtract the
+    (m+1)-th largest count and drop non-positive — so the dataflow is the
+    same combiner pattern as KMV: per-batch summary -> tiny partial stream
+    -> driver merge.  Deterministic."""
+
+    def __init__(self, m: int = 64, counters: dict | None = None):
+        self.m = m
+        self.counters: dict = dict(counters or {})
+        self.n = 0  # stream length seen (for the error bound)
+
+    def add_many(self, values) -> None:
+        c = self.counters
+        m = self.m
+        for v in values:
+            self.n += 1
+            if v in c:
+                c[v] += 1
+            elif len(c) < m:
+                c[v] = 1
+            else:
+                dead = [k for k in c if c[k] == 1]
+                for k in c:
+                    c[k] -= 1
+                for k in dead:
+                    del c[k]
+
+    def merge(self, other: "MGSketch") -> "MGSketch":
+        c = dict(self.counters)
+        for v, cnt in other.counters.items():
+            c[v] = c.get(v, 0) + cnt
+        if len(c) > self.m:
+            cut = sorted(c.values(), reverse=True)[self.m]
+            c = {v: cnt - cut for v, cnt in c.items() if cnt - cut > 0}
+        out = MGSketch(self.m, c)
+        out.n = self.n + other.n
+        return out
+
+    def top(self, k: int) -> list[tuple[str, int]]:
+        return sorted(self.counters.items(),
+                      key=lambda kv: (-kv[1], str(kv[0])))[:k]
+
+
+def mg_partial(batch: pa.Table, column: str = "", m: int = 64) -> pa.Table:
+    """Per-batch Misra-Gries partial rows: (value, cnt, batch_n).
+    ``batch_n`` (the batch's stream length, needed for the global error
+    bound) rides on a sentinel row so it survives even the degenerate
+    all-counters-decayed case."""
+    sk = MGSketch(m)
+    sk.add_many(batch.column(column).to_pylist())
+    vals = list(sk.counters)
+    return pa.table({
+        "value": pa.array([str(v) for v in vals] + [""], pa.string()),
+        "cnt": pa.array([sk.counters[v] for v in vals] + [0], pa.int64()),
+        "batch_n": pa.array([0] * len(vals) + [sk.n], pa.int64()),
+    })
+
+
+def heavy_hitters(ds, column: str, m: int = 64, k: int = 10):
+    """Dataset -> pandas (value, est_count, err_bound) top-k heavy
+    hitters.  Combiner partials merged on the driver via the
+    mergeable-summary rule (sum matching counters, subtract the (m+1)-th
+    largest, drop non-positive) — O(blocks x m) driver rows.  est_count
+    underestimates the true count by at most ``err_bound`` = N_total/m."""
+    import pandas as pd
+
+    pdf = ds.map_batches(
+        mg_partial, fn_kwargs={"column": column, "m": m},
+        batch_format="pyarrow").to_pandas()
+    total_n = int(pdf["batch_n"].sum())
+    data = pdf[pdf["cnt"] > 0]
+    agg = data.groupby("value")["cnt"].sum().to_dict()
+    if len(agg) > m:
+        cut = sorted(agg.values(), reverse=True)[m]
+        agg = {v: c - cut for v, c in agg.items() if c - cut > 0}
+    sk = MGSketch(m, agg)
+    rows = [(v, int(c), total_n // m) for v, c in sk.top(k)]
+    return pd.DataFrame(rows, columns=["value", "est_count", "err_bound"])
+
+
 def approx_distinct(ds, column: str, group_by: str | None = None,
                     k: int = 1024):
     """Dataset -> pandas (group, approx_distinct). Combiner partials merged

@@ -78,3 +78,62 @@ def test_distributed_grouped_estimate(ray_session):
     for g, n in (("a", 3000), ("b", 300)):
         err = abs(df.loc[g, "approx_distinct"] - n) / n
         assert err < 0.2, (g, df.loc[g, "approx_distinct"])
+
+
+def test_mg_error_bound_and_determinism():
+    from kb_ner_ray.stages.sketch import MGSketch
+
+    # zipf-ish stream: value i appears (200 // (i+1)) times
+    stream = []
+    for i in range(100):
+        stream.extend([f"v{i}"] * (200 // (i + 1)))
+    sk = MGSketch(m=16)
+    sk.add_many(stream)
+    n = len(stream)
+    from collections import Counter
+
+    true = Counter(stream)
+    for v, est in sk.counters.items():
+        assert true[v] - n / 16 <= est <= true[v]
+    # the dominant value is always retained
+    assert "v0" in sk.counters
+
+
+def test_mg_merge_matches_single_pass_bounds():
+    from collections import Counter
+
+    from kb_ner_ray.stages.sketch import MGSketch
+
+    rng = [f"u{i % 37}" for i in range(5000)] + ["hot"] * 800
+    parts = [rng[i::4] for i in range(4)]
+    sks = []
+    for p in parts:
+        sk = MGSketch(m=24)
+        sk.add_many(p)
+        sks.append(sk)
+    merged = sks[0]
+    for sk in sks[1:]:
+        merged = merged.merge(sk)
+    true = Counter(rng)
+    n = len(rng)
+    assert merged.n == n
+    for v, est in merged.counters.items():
+        assert est <= true[v]
+        assert true[v] - est <= n / 24 * 2  # merged bound (k-way slack)
+    assert merged.top(1)[0][0] == "hot"
+
+
+def test_heavy_hitters_distributed(ray_session):
+    from collections import Counter
+
+    from kb_ner_ray.stages.sketch import heavy_hitters
+
+    vals = [f"t{i % 50}" for i in range(20_000)] + ["whale"] * 3000
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    df = heavy_hitters(ds, "v", m=64, k=5)
+    assert df.iloc[0]["value"] == "whale"
+    true = Counter(vals)
+    n = len(vals)
+    for _i, row in df.iterrows():
+        assert row["est_count"] <= true[row["value"]]
+        assert true[row["value"]] - row["est_count"] <= row["err_bound"] * 2
