@@ -225,9 +225,13 @@ GROUP BY r.r_name, n.n_name
 def q_orders_lineitem_join(sf_dir: str):
     """Large-side join orders x lineitem -> per-orderpriority stats via the
     sorted-array broadcast (orderkey array + priority-code array, zero-copy
-    numpy; searchsorted probe + bincount partials).  The bucketed-shuffle
-    equivalent is q_orders_lineitem_bucketed."""
+    numpy; searchsorted probe + bincount partials).  AUTO-SELECTED: the
+    co-partitioned plan (q_orders_lineitem_bucketed) runs when the orders
+    side measures large."""
     import pyarrow.parquet as pq
+
+    if _table_bytes(sf_dir, "orders") > BROADCAST_MAX_BYTES:
+        return q_orders_lineitem_bucketed(sf_dir)
 
     orders = pq.read_table(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_orderpriority"])
@@ -1014,11 +1018,13 @@ WHERE rank <= {KNN_K}
 
 
 def q_ivf_knn(sf_dir: str):
-    from ..stages.similarity import ivf_centroids, ivf_knn, load_queries
+    """IVF ANN with a TRAINED coarse quantizer (deterministic spherical
+    k-means on a strided sample; round 1 used first-n vectors)."""
+    from ..stages.similarity import ivf_knn, load_queries, train_ivf_centroids
 
     path = f"{sf_dir}/embeddings.parquet"
     df = ivf_knn(_read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
-                 load_queries(path, N_QUERIES), ivf_centroids(path),
+                 load_queries(path, N_QUERIES), train_ivf_centroids(path),
                  k=KNN_K, nprobe=4)
     return df[["qid", "nid", "rank"]].astype(np.int64)
 

@@ -121,6 +121,42 @@ def ivf_centroids(parquet_path: str, n_centroids: int = 16) -> np.ndarray:
     return _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
 
 
+def train_ivf_centroids(parquet_path: str, n_centroids: int = 16,
+                        iters: int = 5, sample: int = 4096) -> np.ndarray:
+    """Deterministic k-means coarse quantizer training (replaces the
+    round-1 "first-n vectors" stand-in).
+
+    Strided driver-side sample (bounded regardless of corpus size — the
+    standard IVF recipe trains on a sample), farthest-point init from the
+    first vector (deterministic k-means++ flavor), ``iters`` Lloyd rounds
+    on the unit sphere (spherical k-means: assign by max cosine, update by
+    renormalized mean; an emptied cluster keeps its previous centroid)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    stride = max(1, len(df) // sample)
+    X = _normalize(np.array(df["embedding"].iloc[::stride].tolist(),
+                            dtype=np.float64))
+    n_centroids = min(n_centroids, len(X))
+    # farthest-point init
+    cents = [X[0]]
+    sims_to_c = X @ X[0]
+    for _ in range(n_centroids - 1):
+        nxt = int(np.argmin(sims_to_c))  # farthest = least similar
+        cents.append(X[nxt])
+        sims_to_c = np.maximum(sims_to_c, X @ X[nxt])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for ci in range(n_centroids):
+            members = X[assign == ci]
+            if len(members):
+                C[ci] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
 def ivf_assign_topk(batch: pa.Table, state_ref=None, k: int = 5,
                     nprobe: int = 4) -> pa.Table:
     """Assign batch vectors to centroid buckets; score only vectors whose

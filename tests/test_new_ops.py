@@ -330,3 +330,33 @@ def test_bucket_array_deterministic_and_balanced():
     strs = np.array([f"url-{i}" for i in range(1000)], dtype=object)
     bs = bucket_array(strs, 8)
     assert bs.min() >= 0 and bs.max() < 8
+
+
+def test_windowed_stream_matches_batch_hourly(ray_session):
+    """Tumbling-window streaming actors == batch hourly aggregate on the
+    same events (ordered-log contract), with incremental emission."""
+    import pandas as pd
+    import ray as _ray
+
+    from kb_ner_ray.stages.streaming import windowed_count_stream
+
+    rng = np.random.RandomState(9)
+    n = 5000
+    df = pd.DataFrame({
+        "event_type": [f"t{i % 5}" for i in range(n)],
+        "ts": pd.to_datetime("2024-03-01")
+        + pd.to_timedelta(np.sort(rng.randint(0, 60 * 60 * 48, n)),
+                          unit="s"),
+        "value": rng.rand(n).round(3),
+    })
+    got = (windowed_count_stream(
+        _ray.data.from_arrow(pa.Table.from_pandas(df)), n_buckets=3)
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True))
+    want = (df.assign(window_start=df["ts"].dt.floor("60min"))
+            .groupby(["event_type", "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), value_sum=("value", "sum"))
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_events": "int64"}), want.astype({"n_events": "int64"}),
+        check_dtype=False, atol=1e-9)

@@ -263,3 +263,45 @@ def test_video_frame_sample(ray_session):
     counts = df.groupby("media_id")["frame_idx"].nunique()
     assert (counts == 4).all()
     assert (df.groupby("media_id")["frame_idx"].min() == 0).all()
+
+
+def test_trained_ivf_beats_firstn_centroids(tmp_path, ray_session):
+    """The spherical-k-means quantizer gives recall >= the first-n
+    stand-in on clustered data (and is deterministic)."""
+    import pyarrow.parquet as pq
+
+    from kb_ner_ray.stages.similarity import (
+        ivf_centroids,
+        ivf_knn,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 16) * 4
+    mat = np.vstack([c + rng.randn(40, 16) for c in centers])
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }), path)
+    mat32 = np.array([list(map(float, np.float32(r))) for r in mat])
+    qids = [0, 45, 90]
+    queries = (qids, mat32[qids])
+    trained = train_ivf_centroids(path, n_centroids=8)
+    assert np.allclose(trained, train_ivf_centroids(path, n_centroids=8))
+    firstn = ivf_centroids(path, n_centroids=8)
+    bf = knn_bruteforce(_emb_ds(mat32), queries, k=5)
+
+    def recall(cents):
+        got = ivf_knn(_emb_ds(mat32), queries, cents, k=5, nprobe=2)
+        rs = []
+        for qid in qids:
+            want = set(bf[bf.qid == qid]["nid"])
+            rs.append(len(want & set(got[got.qid == qid]["nid"]))
+                      / len(want))
+        return np.mean(rs)
+
+    r_trained, r_firstn = recall(trained), recall(firstn)
+    assert r_trained >= r_firstn
+    assert r_trained >= 0.9

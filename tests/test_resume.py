@@ -81,3 +81,39 @@ def test_resumable_run_skips_done_partitions(tmp_path):
     want = sorted(tuple(r.values()) for r in full.select(key).to_pylist())
     got = sorted(tuple(r.values()) for r in again.select(key).to_pylist())
     assert got == want
+
+
+def test_resumable_run_recovers_from_crashed_write(tmp_path):
+    """A run killed mid-partition-write leaves a part=NNNN.tmp dir and no
+    manifest; the next run must recompute that partition cleanly and the
+    stale tmp must not leak into the final output."""
+    import glob
+
+    from kb_ner_ray.data.synth import corpus_dir
+    from kb_ner_ray.pipelines.run import load_final_triples, run_resumable
+
+    corpus = corpus_dir(0.001)
+    out = str(tmp_path / "run")
+    r1 = run_resumable(corpus, out, n_partitions=2, concurrency=(1, 2))
+    full = load_final_triples(out)
+
+    # simulate a crash: destroy partition 1's landed dir, leave a torn tmp
+    import shutil
+
+    part_dir = os.path.join(out, "raw", "part=0001")
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(part_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(tmp_dir, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    r2 = run_resumable(corpus, out, n_partitions=2, concurrency=(1, 2))
+    assert 1 in r2["computed"] and 0 in r2["skipped"]
+    assert r2["n_triples"] == r1["n_triples"]
+    # torn tmp replaced, no stray garbage in the raw glob
+    assert not glob.glob(os.path.join(out, "raw", "part=*.tmp", "*"))
+    again = load_final_triples(out)
+    key = ["subj", "pred", "obj", "url", "sent_id"]
+    want = sorted(tuple(r.values()) for r in full.select(key).to_pylist())
+    got = sorted(tuple(r.values()) for r in again.select(key).to_pylist())
+    assert got == want
