@@ -7,26 +7,30 @@ documents" and the banding analysis in Leskovec/Rajaraman/Ullman, MMDS ch.3;
 SimHash per Charikar 2002 "Similarity estimation techniques from rounding
 algorithms".)
 
-* exact            — content-hash groupby on 32 salt buckets, keep min
-                     doc_id (shuffle on fixed-width keys, never the text);
-* minhash_lsh      — word-shingle MinHash -> banded LSH buckets -> candidate
-                     pairs -> exact-Jaccard verification;
-* simhash          — 64-bit SimHash + 4-band blocking, Hamming<=3 pairs;
+* exact            — content-hash groupby on cluster-scaled salt buckets,
+                     keep min doc_id (shuffle on fixed-width keys, never
+                     the text);
+* minhash_lsh      — word-shingle MinHash -> banded LSH buckets -> exact-
+                     Jaccard-verified pairs; TWO zero-broadcast plans:
+                     in-band (signatures ride the banding shuffle, pairs
+                     emitted once from their first colliding band) and
+                     join (candidate pairs hash-joined to a per-doc
+                     shingle-signature table — byte-lean at 100 TB);
+* simhash          — 64-bit SimHash + 4x16-bit band blocking, Hamming<=3
+                     pairs, first-colliding-band unique emission;
 * ngram_jaccard    — length-blocked character-set Jaccard (DuckDB jaccard()
                      semantics -> exact SQL oracle);
-* embedding cosine — see stages/similarity.py (near_dup_pairs).
+* embedding cosine — see stages/similarity.py (near_dup_pairs_lsh).
 
-Grouping is always on COARSE keys (band id, salt bucket, token count):
-per-group pandas dispatch costs ~0.1 ms, so grouping on |corpus|-cardinality
-bucket hashes would dominate the hashing itself; bucket collisions are
-resolved vectorized inside each coarse group.
+Grouping is always on COARSE keys — band_grp = band x cluster-scaled
+bucket-hash sub-key (see _band_groups), salt bucket, token count: per-group
+pandas dispatch costs ~0.1 ms, so grouping on |corpus|-cardinality bucket
+hashes would dominate the hashing itself, while a band-only key would
+serialize each band into ONE reducer on a big cluster.  Bucket collisions
+are resolved vectorized inside each coarse group.
 
-Scale notes (100 TB): the only all-to-all exchanges are on FIXED-WIDTH keys
-(hash / band bucket / simhash band), with per-batch pre-aggregation where
-possible. Verification joins candidate pairs back to shingle sets; here the
-shingle-set side is re-derived per group via a broadcast of the documents
-table — at full scale this becomes a hash-join of (pair, doc) on doc_id,
-same dataflow, and is noted on the queries() entry.
+Scale notes (100 TB): the only all-to-all exchanges are on FIXED-WIDTH
+keys; nothing corpus-sized is ever broadcast or repartition(1)'d.
 """
 
 from __future__ import annotations
@@ -112,9 +116,22 @@ def minhash_signature(sh: set[int]) -> np.ndarray:
     return vals.min(axis=1)
 
 
+
+def _band_groups(n_bands: int) -> int:
+    """Sub-band shuffle fan-out: groups = n_bands x P with P scaled to the
+    cluster, so the band groupby never serializes into n_bands reducers on
+    a big cluster (a bucket's rows still share a group: the sub-key is a
+    function of the bucket hash)."""
+    from .partitioning import default_buckets
+
+    return max(1, default_buckets() // n_bands)
+
+
 def minhash_bands(batch: pa.Table) -> pa.Table:
-    """documents batch -> (band_id, band_hash, doc_id) rows."""
-    doc_ids, band_ids, band_hashes = [], [], []
+    """documents batch -> (band_grp, band_id, band_hash, doc_id) rows;
+    ``band_grp`` is the cluster-scaled shuffle key (see _band_groups)."""
+    P = _band_groups(N_BANDS)
+    doc_ids, band_ids, band_hashes, band_grps = [], [], [], []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
         sig = minhash_signature(shingles(text))
@@ -124,8 +141,10 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
             doc_ids.append(doc_id)
             band_ids.append(band)
             band_hashes.append(bh)
+            band_grps.append(band * P + int(bh[:4], 16) % P)
     return pa.table(
         {
+            "band_grp": pa.array(band_grps, pa.int32()),
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.string()),
             "doc_id": pa.array(doc_ids, pa.int64()),
@@ -137,11 +156,11 @@ def candidate_pairs_from_band(group: pd.DataFrame,
                               max_group: int = 200) -> pd.DataFrame:
     """ALL buckets of one band -> unique candidate (a < b) pairs.
 
-    The group key is band_id (16 coarse groups), NOT (band_id, band_hash):
-    per-group pandas dispatch costs ~0.1 ms, so grouping on the ~|corpus|
-    distinct bucket hashes would cost more than the hashing itself.  Bucket
-    collisions are found vectorized inside the band; giant buckets capped
-    at ``max_group`` docs (skew guard)."""
+    The group key is band_grp (cluster-scaled COARSE key), NOT
+    (band_id, band_hash): per-group pandas dispatch costs ~0.1 ms, so
+    grouping on the ~|corpus| distinct bucket hashes would cost more than
+    the hashing itself.  Bucket collisions are found vectorized inside the
+    group; giant buckets capped at ``max_group`` docs (skew guard)."""
     sizes = group.groupby("band_hash")["doc_id"].transform("size")
     hot = group[sizes >= 2]
     a, b = [], []
@@ -177,7 +196,9 @@ def minhash_bands_with_sig(batch: pa.Table) -> pa.Table:
     the band group — no join, no broadcast, no second shuffle.  Costs
     N_BANDS x (sig + 512B) through the shuffle; the byte-lean alternative
     is the join path in minhash_lsh_pairs."""
-    doc_ids, band_ids, band_hashes, msigs, sigs = [], [], [], [], []
+    P = _band_groups(N_BANDS)
+    doc_ids, band_ids, band_hashes, band_grps, msigs, sigs = (
+        [], [], [], [], [], [])
     for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
         sh = shingles(text)
@@ -190,10 +211,12 @@ def minhash_bands_with_sig(batch: pa.Table) -> pa.Table:
             doc_ids.append(doc_id)
             band_ids.append(band)
             band_hashes.append(bh)
+            band_grps.append(band * P + int(bh[:4], 16) % P)
             msigs.append(sig_bytes)
             sigs.append(sh_bytes)
     return pa.table(
         {
+            "band_grp": pa.array(band_grps, pa.int32()),
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.string()),
             "doc_id": pa.array(doc_ids, pa.int64()),
@@ -252,7 +275,7 @@ def minhash_lsh_pairs_inband(docs_ds, threshold: float = 0.8):
     shuffles) when that multiplier is the bottleneck."""
     return (
         docs_ds.map_batches(minhash_bands_with_sig, batch_format="pyarrow")
-        .groupby("band_id")
+        .groupby("band_grp")
         .map_groups(verified_pairs_from_band, batch_format="pandas",
                     fn_kwargs={"threshold": threshold})
     )
@@ -282,7 +305,7 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.8):
 
     cands = (
         docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
-        .groupby("band_id")
+        .groupby("band_grp")
         .map_groups(candidate_pairs_from_band, batch_format="pandas")
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__pb")
@@ -341,18 +364,23 @@ def simhash64(text: str) -> int:
 
 
 def simhash_bands(batch: pa.Table) -> pa.Table:
-    """doc -> 4 x 16-bit band rows (Hamming<=3 pairs share >=1 exact band)."""
-    doc_ids, band_ids, band_vals, hashes = [], [], [], []
+    """doc -> 4 x 16-bit band rows (Hamming<=3 pairs share >=1 exact band);
+    ``band_grp`` is the cluster-scaled shuffle key."""
+    P = _band_groups(4)
+    doc_ids, band_ids, band_vals, band_grps, hashes = [], [], [], [], []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
         h = simhash64(text)
         for band in range(4):
+            bv = (h >> (band * 16)) & 0xFFFF
             doc_ids.append(doc_id)
             band_ids.append(band)
-            band_vals.append((h >> (band * 16)) & 0xFFFF)
+            band_vals.append(bv)
+            band_grps.append(band * P + bv % P)
             hashes.append(h)
     return pa.table(
         {
+            "band_grp": pa.array(band_grps, pa.int32()),
             "band_id": pa.array(band_ids, pa.int32()),
             "band_val": pa.array(band_vals, pa.int32()),
             "doc_id": pa.array(doc_ids, pa.int64()),
@@ -363,9 +391,11 @@ def simhash_bands(batch: pa.Table) -> pa.Table:
 
 def simhash_pairs_from_band(group: pd.DataFrame, max_dist: int = 3,
                             max_group: int = 200) -> pd.DataFrame:
-    """ALL buckets of one 16-bit band (coarse group key, see
-    candidate_pairs_from_band): Hamming-verify pairs inside each colliding
-    band_val bucket."""
+    """Buckets of one coarse band group (see candidate_pairs_from_band):
+    Hamming-verify pairs inside each colliding band_val bucket; a pair is
+    emitted ONLY from its first colliding band (computable locally from
+    the two simhash values), so the output needs no cross-band dedup."""
+    band_id = int(group["band_id"].iloc[0]) if len(group) else 0
     sizes = group.groupby("band_val")["doc_id"].transform("size")
     hot = group[sizes >= 2]
     a, b, d = [], [], []
@@ -375,23 +405,30 @@ def simhash_pairs_from_band(group: pd.DataFrame, max_dist: int = 3,
         hs = g["simhash"].to_numpy()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                dist = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                x, y = int(hs[i]), int(hs[j])
+                first = next((bnd for bnd in range(4)
+                              if ((x >> (bnd * 16)) & 0xFFFF)
+                              == ((y >> (bnd * 16)) & 0xFFFF)), band_id)
+                if first != band_id:
+                    continue  # an earlier band emits this pair
+                dist = int(bin(x ^ y).count("1"))
                 if dist <= max_dist:
                     a.append(ids[i])
                     b.append(ids[j])
                     d.append(dist)
-    return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+    return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
+                         "doc_b": np.array(b, dtype=np.int64),
+                         "hamming": np.array(d, dtype=np.int64)})
 
 
 def simhash_near_dups(docs_ds, max_dist: int = 3):
+    """ONE shuffle, globally unique pairs (first-colliding-band emission
+    replaced the round-1 repartition(1) + dedup pass)."""
     return (
         docs_ds.map_batches(simhash_bands, batch_format="pyarrow")
-        .groupby("band_id")
+        .groupby("band_grp")
         .map_groups(lambda g: simhash_pairs_from_band(g, max_dist),
                     batch_format="pandas")
-        .repartition(1)  # pair stream is collision-sized; see minhash note
-        .map_batches(lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
-                     batch_format="pandas", batch_size=None)
     )
 
 

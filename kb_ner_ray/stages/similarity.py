@@ -280,13 +280,19 @@ def _lsh_band_rows(batch: pa.Table) -> pa.Table:
     bytes through the shuffle) so exact verification AND global pair
     dedup happen inside the band group — same shape as the in-band
     MinHash plan."""
+    from .partitioning import default_buckets
+
+    P = max(1, default_buckets() // LSH_BANDS)
     vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
     m = _normalize(_matrix(batch.column("embedding")))
     keys = _sign_bands(m)
     n = len(vids)
+    band_ids = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n)
+    flat_keys = keys.reshape(-1)
     return pa.table({
-        "band_id": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)),
-        "band_key": pa.array(keys.reshape(-1), pa.int64()),
+        "band_grp": pa.array((band_ids * P + flat_keys % P).astype(np.int32)),
+        "band_id": pa.array(band_ids.astype(np.int32)),
+        "band_key": pa.array(flat_keys, pa.int64()),
         "vec_id": pa.array(np.repeat(vids, LSH_BANDS), pa.int64()),
         "emb": pa.array([m[i].tobytes() for i in range(n)
                          for _ in range(LSH_BANDS)], pa.binary()),
@@ -335,7 +341,7 @@ def near_dup_pairs_lsh(emb_ds, threshold: float = 0.95):
     emission.  Per-worker memory is bounded by the band group, not the
     corpus."""
     return (emb_ds.map_batches(_lsh_band_rows, batch_format="pyarrow")
-            .groupby("band_id")
+            .groupby("band_grp")
             .map_groups(_verified_pairs_from_lsh_band,
                         batch_format="pandas",
                         fn_kwargs={"threshold": threshold}))
