@@ -93,3 +93,81 @@ def test_kmv_merge_commutative_and_union(xs, ys):
     whole = KMVSketch(k=64)
     whole.add_many(xs + ys)
     assert m1.hashes == whole.hashes
+
+
+@given(st.integers(min_value=1, max_value=3000),
+       st.integers(min_value=2, max_value=200))
+@settings(max_examples=100, deadline=None)
+def test_windows_cover_and_merge_identity(n, window):
+    from kb_ner_ray.functions.windows import (
+        merge_window_seqs,
+        split_windows,
+    )
+
+    stride = max(1, window // 2)
+    wins = split_windows(n, window, stride)
+    assert wins[0][0] == 0 and wins[-1][1] == n
+    assert all(e - s <= window for s, e in wins)
+    # merging per-window slices of the identity sequence restores it
+    seqs = [(s, list(range(s, e))) for s, e in wins]
+    assert merge_window_seqs(seqs, n) == list(range(n))
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(1, 4),
+              st.sampled_from(["PER", "LOC", "GRP"])),
+    min_size=0, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_viterbi_reproduces_grammatical_tagging(span_specs):
+    """Any non-overlapping span layout -> BIOES tags -> one-hot emissions
+    -> constrained Viterbi == the original tags."""
+    import numpy as np
+
+    from kb_ner_ray.functions.spans import spans_to_bioes
+    from kb_ner_ray.functions.viterbi import (
+        START_TAG,
+        STOP_TAG,
+        bioes_tag_dictionary,
+        bioes_transitions,
+        viterbi_decode,
+    )
+
+    n_tokens = 40
+    spans, taken = [], [False] * n_tokens
+    for start, length, label in span_specs:
+        end = min(start + length, n_tokens)
+        if end <= start or any(taken[start:end]):
+            continue
+        for i in range(start, end):
+            taken[i] = True
+        spans.append((start, end, label))
+    tags = spans_to_bioes(sorted(spans), n_tokens)
+    space = bioes_tag_dictionary(["PER", "LOC", "GRP"])
+    idx = {t: i for i, t in enumerate(space)}
+    trans = bioes_transitions(space)
+    em = np.zeros((n_tokens, len(space)))
+    em[np.arange(n_tokens), [idx[t] for t in tags]] = 8.0
+    _conf, path, _ = viterbi_decode(em, trans, idx[START_TAG],
+                                    idx[STOP_TAG])
+    assert [space[i] for i in path] == tags
+
+
+@given(st.lists(st.integers(0, 20), min_size=1, max_size=400),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_mg_lower_bound_law(values, n_parts):
+    from collections import Counter
+
+    from kb_ner_ray.stages.sketch import MGSketch
+
+    vals = [f"v{v}" for v in values]
+    parts = [vals[i::n_parts] for i in range(n_parts)]
+    merged = None
+    for p in parts:
+        sk = MGSketch(m=8)
+        sk.add_many(p)
+        merged = sk if merged is None else merged.merge(sk)
+    true = Counter(vals)
+    assert merged.n == len(vals)
+    for v, est in merged.counters.items():
+        assert 0 < est <= true[v]
