@@ -1366,6 +1366,24 @@ def q_ngram_jaccard(sf_dir: str):
     return df[["doc_a", "doc_b", "jac_bp"]].astype(np.int64)
 
 
+def q_ngram_jaccard_salted(sf_dir: str):
+    """ngram_jaccard through the giant-block 2D decomposition
+    (block_split=3: docs replicated 3 ways, pairs covered exactly once) —
+    the skew guard for a hot length block, proven identical via the same
+    exact SQL oracle."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD, block_split=3).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jac_bp": pd.Series([], dtype=np.int64)})
+    df["jac_bp"] = _cents(df["jaccard"], 10000)
+    return df[["doc_a", "doc_b", "jac_bp"]].astype(np.int64)
+
+
 SQL_NGRAM_JACCARD = f"""
 WITH d AS (
   SELECT doc_id, text,
@@ -1778,6 +1796,7 @@ def queries_registry():
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_salted": q_ngram_jaccard_salted,
         "corpus_prep": q_corpus_prep,
         "doc_splits": q_doc_splits,
         "kg_span_metric": q_kg_span_metric,
@@ -1834,6 +1853,7 @@ def oracle_registry():
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

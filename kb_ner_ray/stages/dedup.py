@@ -36,10 +36,27 @@ keys; nothing corpus-sized is ever broadcast or repartition(1)'d.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_log = logging.getLogger(__name__)
+_warned_truncation = False
+
+
+def _warn_truncation(where: str, size: int, cap: int) -> None:
+    """No silent caps: a giant LSH bucket beyond ``max_group`` means
+    dropped candidate pairs — say so (once per worker) instead of reading
+    as full coverage.  The structural fix for a persistently hot bucket is
+    the 2D decomposition used by ngram_jaccard_pairs(block_split=...)."""
+    global _warned_truncation
+    if not _warned_truncation:
+        _warned_truncation = True
+        _log.warning(
+            "%s: bucket of %d docs capped at %d - pairs beyond the cap "
+            "are NOT examined (skew guard)", where, size, cap)
 
 # ---- exact dedup ------------------------------------------------------------
 
@@ -165,7 +182,10 @@ def candidate_pairs_from_band(group: pd.DataFrame,
     hot = group[sizes >= 2]
     a, b = [], []
     for _bh, grp in hot.groupby("band_hash", sort=False):
-        ids = sorted(grp["doc_id"].unique())[:max_group]
+        uniq = sorted(grp["doc_id"].unique())
+        if len(uniq) > max_group:
+            _warn_truncation("minhash candidate_pairs", len(uniq), max_group)
+        ids = uniq[:max_group]
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
@@ -238,9 +258,10 @@ def verified_pairs_from_band(group: pd.DataFrame, threshold: float,
     hot = group[sizes >= 2]
     rows = []
     for _bh, grp in hot.groupby("band_hash", sort=False):
-        grp = (grp.drop_duplicates("doc_id")
-               .sort_values("doc_id")
-               .head(max_group))
+        grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(grp) > max_group:
+            _warn_truncation("minhash verified_pairs", len(grp), max_group)
+            grp = grp.head(max_group)
         ids = grp["doc_id"].tolist()
         msigs = [np.frombuffer(m, dtype=np.int64).reshape(
             N_BANDS, ROWS_PER_BAND) for m in grp["msig"]]
@@ -400,7 +421,10 @@ def simhash_pairs_from_band(group: pd.DataFrame, max_dist: int = 3,
     hot = group[sizes >= 2]
     a, b, d = [], [], []
     for _bv, grp in hot.groupby("band_val", sort=False):
-        g = grp.drop_duplicates("doc_id").nsmallest(max_group, "doc_id")
+        g = grp.drop_duplicates("doc_id")
+        if len(g) > max_group:
+            _warn_truncation("simhash pairs", len(g), max_group)
+        g = g.nsmallest(max_group, "doc_id")
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy()
         for i in range(len(ids)):
@@ -466,12 +490,97 @@ def _jaccard_pairs_in_block(group: pd.DataFrame,
     return pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": j})
 
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.75):
+def _jaccard_salted_rows(batch: pa.Table, S: int) -> pa.Table:
+    """Explode each doc into its 2D-decomposition groups: part p =
+    hash(doc_id) % S; the doc joins every group (n_tokens, i, j), i<=j,
+    with p in {i, j} (S groups per doc).  Pair (p, q) meets EXACTLY once —
+    in group (min(p,q), max(p,q)) — so results are identical to the
+    unsalted plan (the classic triangle self-join decomposition)."""
+    n_tok = [len(t.split()) for t in batch.column("text").to_pylist()]
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    keys, gis, gjs, parts, ids, txts = [], [], [], [], [], []
+    for doc_id, nt, text in zip(doc_ids, n_tok, texts):
+        p = (doc_id * 2654435761) % (1 << 32) % S
+        for i in range(S):
+            for j in range(i, S):
+                if p != i and p != j:
+                    continue
+                keys.append(nt * S * S + i * S + j)
+                gis.append(i)
+                gjs.append(j)
+                parts.append(p)
+                ids.append(doc_id)
+                txts.append(text)
+    return pa.table({
+        "block_key": pa.array(keys, pa.int64()),
+        "gi": pa.array(gis, pa.int32()),
+        "gj": pa.array(gjs, pa.int32()),
+        "part": pa.array(parts, pa.int32()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(txts, pa.string()),
+    })
+
+
+def _jaccard_pairs_in_salted_block(group: pd.DataFrame,
+                                   threshold: float) -> pd.DataFrame:
+    if not len(group):
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    gi = int(group["gi"].iloc[0])
+    gj = int(group["gj"].iloc[0])
+    g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    a, b, j = [], [], []
+
+    def emit(x_ids, x_sets, y_ids, y_sets, cross: bool):
+        for i in range(len(x_ids)):
+            rng = range(len(y_ids)) if cross else range(i + 1, len(y_ids))
+            for k in rng:
+                denom = len(x_sets[i] | y_sets[k])
+                jac = len(x_sets[i] & y_sets[k]) / denom if denom else 1.0
+                if jac >= threshold:
+                    lo, hi = sorted((int(x_ids[i]), int(y_ids[k])))
+                    a.append(lo)
+                    b.append(hi)
+                    j.append(jac)
+
+    if gi == gj:
+        sub = g[g["part"] == gi]
+        ids = sub["doc_id"].to_numpy()
+        sets = [set(t) for t in sub["text"]]
+        emit(ids, sets, ids, sets, cross=False)
+    else:
+        left = g[g["part"] == gi]
+        right = g[g["part"] == gj]
+        emit(left["doc_id"].to_numpy(), [set(t) for t in left["text"]],
+             right["doc_id"].to_numpy(), [set(t) for t in right["text"]],
+             cross=True)
+    return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
+                         "doc_b": np.array(b, dtype=np.int64),
+                         "jaccard": np.array(j, dtype=np.float64)})
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.75,
+                        block_split: int = 1):
     """Blocked pairwise Jaccard: candidate pairs share an exact token count
     (length blocking — standard dedup blocking); ONE shuffle on the
-    fixed-width block key, pairwise verify inside each block.  Skewed blocks
-    are bounded by the quadratic cap being per-block, not global; at 100 TB
-    the block key becomes (n_tokens, hash-salt) to split giant blocks."""
+    fixed-width block key, pairwise verify inside each block.
+
+    ``block_split=S > 1`` engages the giant-block guard: each length block
+    is 2D-decomposed into S*(S+1)/2 sub-groups (docs replicated S ways,
+    pairs covered exactly once), so the per-group quadratic is bounded by
+    (block/S)^2 and one skewed length stops serializing into a single
+    reducer.  Identical output to the unsalted plan — both share the exact
+    SQL oracle."""
+    if block_split > 1:
+        return (
+            docs_ds.map_batches(_jaccard_salted_rows,
+                                fn_kwargs={"S": block_split},
+                                batch_format="pyarrow")
+            .groupby("block_key")
+            .map_groups(
+                lambda g: _jaccard_pairs_in_salted_block(g, threshold),
+                batch_format="pandas")
+        )
     return (
         docs_ds.map_batches(_token_count_block, batch_format="pyarrow")
         .groupby("n_tokens")

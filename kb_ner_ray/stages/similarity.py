@@ -309,9 +309,12 @@ def _verified_pairs_from_lsh_band(group: pd.DataFrame, threshold: float,
     hot = group[sizes >= 2]
     a_out, b_out, s_out = [], [], []
     for _bk, grp in hot.groupby("band_key", sort=False):
-        grp = (grp.drop_duplicates("vec_id")
-               .sort_values("vec_id")
-               .head(max_group))
+        grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(grp) > max_group:
+            from .dedup import _warn_truncation
+
+            _warn_truncation("lsh near_dup", len(grp), max_group)
+            grp = grp.head(max_group)
         ids = grp["vec_id"].to_numpy()
         m = np.stack([np.frombuffer(e, dtype=np.float64)
                       for e in grp["emb"]])

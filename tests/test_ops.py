@@ -305,3 +305,23 @@ def test_trained_ivf_beats_firstn_centroids(tmp_path, ray_session):
     r_trained, r_firstn = recall(trained), recall(firstn)
     assert r_trained >= r_firstn
     assert r_trained >= 0.9
+
+
+def test_ngram_jaccard_salted_equals_plain(ray_session):
+    """The 2D giant-block decomposition covers every pair exactly once:
+    identical output to the unsalted plan for several split factors."""
+    import pandas as pd
+
+    from kb_ner_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = (["abcdefgh"] * 6 + ["abcdefgx"] * 3 + ["zzzzyyyy"] * 4
+             + ["completely different charset!"] * 2)
+    ds = _docs_ds(texts)
+    want = (ngram_jaccard_pairs(ds, threshold=0.6).to_pandas()
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(want) > 0
+    for s in (2, 3, 5):
+        got = (ngram_jaccard_pairs(ds, threshold=0.6, block_split=s)
+               .to_pandas().sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
