@@ -1,5 +1,16 @@
 """CLI entry point: ``python -m kb_ner_ray --config pipeline.yaml``.
 
+This is also the ``ray job submit`` entrypoint on a real cluster (the
+north rule's deployment shape)::
+
+    ray job submit --working-dir . -- \\
+        python -m kb_ner_ray --config pipeline.yaml
+
+On a cluster, ``ray.init()`` (no address) inside the job attaches to the
+running cluster; here it starts local mode.  A killed job resumes from
+the per-partition checkpoint manifests when the config sets
+``resumable: true`` (pipelines/run.py).
+
 Only CLI entry points, bench.py and the test fixture own a Ray session
 (the external driver calls ray.init itself before importing
 __ray_entry__).

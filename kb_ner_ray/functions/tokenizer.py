@@ -19,6 +19,35 @@ from __future__ import annotations
 import re
 
 _WORD_RE = re.compile(r"\S+")
+
+# Optional real-tokenizer backend (the T1 swap seam). None -> the
+# deterministic stand-in below.
+_counter = None
+
+
+def set_subtoken_backend(fn_or_model) -> None:
+    """Swap the subtoken counter for a real tokenizer.
+
+    Accepts either a callable ``fn(text) -> int`` or a HuggingFace model
+    name (``'xlm-roberta-large'`` — requires the ``transformers`` package,
+    absent in this sandbox; the import is gated so the engine works
+    without it).  Affects every stage that budgets contexts; worker
+    processes must call it too (put the call in the actor ``__init__`` of
+    a custom deployment), so it is a deliberate opt-in, not ambient
+    state."""
+    global _counter
+    if callable(fn_or_model):
+        _counter = fn_or_model
+        return
+    from transformers import AutoTokenizer  # gated: not in this sandbox
+
+    tok = AutoTokenizer.from_pretrained(fn_or_model)
+    _counter = lambda text: len(tok.tokenize(text))  # noqa: E731
+
+
+def reset_subtoken_backend() -> None:
+    global _counter
+    _counter = None
 # BPE-ish segmentation: a word costs 1 subtoken per leading 4-char piece,
 # +1 per non-alphanumeric char (punctuation splits), CJK chars cost 1 each.
 _CJK_RE = re.compile(r"[一-鿿]")
@@ -43,6 +72,8 @@ def subtoken_count(text: str) -> int:
     latin text). Additive over whitespace tokens, like a real subword
     tokenizer without cross-word merges.
     """
+    if _counter is not None:
+        return _counter(text)
     count = 0
     for word in text.split():
         cjk = len(_CJK_RE.findall(word))

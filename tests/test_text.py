@@ -105,3 +105,30 @@ def test_gen_chinese_search_query_bare_tokens():
     from kb_ner_ray.functions.text import gen_chinese_search_query
 
     assert gen_chinese_search_query([["上", "海", "x", "上"]]) == ["上海 x 上"]
+
+
+def test_subtoken_backend_swap():
+    """The T1 seam: a pluggable counter overrides the stand-in and reset
+    restores it (attach budgets follow the active backend)."""
+    from kb_ner_ray.data.oracle import attach_contexts
+    from kb_ner_ray.functions.tokenizer import (
+        reset_subtoken_backend,
+        set_subtoken_backend,
+        subtoken_count,
+    )
+
+    base = subtoken_count("hello world foo")
+    try:
+        set_subtoken_backend(lambda text: len(text.split()) * 100)
+        assert subtoken_count("hello world foo") == 300
+        # the context-attach budget walk consults the swapped counter:
+        # sentence costs 300 and each context 300 -> 601 > 510, none fit
+        aug, n = attach_contexts("a b c", [("x y z", 1.0)] * 5)
+        assert n == 0 and aug == "a b c"
+    finally:
+        reset_subtoken_backend()
+    assert subtoken_count("hello world foo") == base
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError):
+        set_subtoken_backend("xlm-roberta-large")  # transformers absent
