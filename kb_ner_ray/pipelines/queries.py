@@ -571,6 +571,8 @@ def q_nation_median_acctbal(sf_dir: str):
         return pd.DataFrame({
             "c_nationkey": [np.int64(g["c_nationkey"].iloc[0])],
             "median_acctbal": _cents([g["c_acctbal"].median()]),
+            # pandas 'linear' interpolation == DuckDB quantile_cont
+            "p95_acctbal": _cents([g["c_acctbal"].quantile(0.95)]),
             "n_customers": [np.int64(len(g))],
         })
 
@@ -582,8 +584,42 @@ SQL_NATION_MEDIAN = """
 SELECT c_nationkey,
        CAST(FLOOR(median(c_acctbal) * 100 + 0.5) AS BIGINT)
            AS median_acctbal,
+       CAST(FLOOR(quantile_cont(c_acctbal, 0.95) * 100 + 0.5) AS BIGINT)
+           AS p95_acctbal,
        count(*) AS n_customers
 FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_nation_top3_names(sf_dir: str):
+    """Ordered string aggregation: per nation, the top-3 customer names by
+    (acctbal desc, custkey asc) comma-joined — grouped sort + head + join
+    inside map_groups vs the SQL window + string_agg oracle."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_name", "c_acctbal"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_name"],
+                          ascending=[False, True]).head(3)
+        return pd.DataFrame({
+            "c_nationkey": [np.int64(g["c_nationkey"].iloc[0])],
+            "top_names": [",".join(g["c_name"])],
+        })
+
+    return (ds.groupby("c_nationkey")
+            .map_groups(top3, batch_format="pandas"))
+
+
+SQL_NATION_TOP3_NAMES = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names
+FROM (
+  SELECT c_nationkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_name) AS rn
+  FROM customer
+) WHERE rn <= 3
+GROUP BY c_nationkey
 """
 
 
@@ -1767,6 +1803,7 @@ def queries_registry():
         "events_rolling_count": q_events_rolling_count,
         "events_lead_lag": q_events_lead_lag,
         "nation_median_acctbal": q_nation_median_acctbal,
+        "nation_top3_names": q_nation_top3_names,
         "doc_token_explode": q_doc_token_explode,
         "distinct_users": q_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
@@ -1831,6 +1868,7 @@ def oracle_registry():
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "nation_median_acctbal": SQL_NATION_MEDIAN,
+        "nation_top3_names": SQL_NATION_TOP3_NAMES,
         "doc_token_explode": SQL_TOKEN_EXPLODE,
         "distinct_users": SQL_DISTINCT_USERS,
         "events_asof_orders": SQL_ASOF,

@@ -360,3 +360,40 @@ def test_windowed_stream_matches_batch_hourly(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"n_events": "int64"}), want.astype({"n_events": "int64"}),
         check_dtype=False, atol=1e-9)
+
+
+def test_plan_auto_selection_forced_bucketed(ray_session):
+    """Force every size-gated plan onto its co-partitioned path
+    (BROADCAST_MAX_BYTES=0) and assert identical results to the broadcast
+    path — the guard that the auto-selection switch is safe to flip at
+    scale."""
+    import pandas as pd
+
+    from kb_ner_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    names = ["events_asof_orders", "customers_with_orders",
+             "customers_no_urgent_orders", "orders_lineitem_join",
+             "revenue_by_nation", "minhash_dedup"]
+    reg = Q.queries_registry()
+
+    def run_all():
+        out = {}
+        for n in names:
+            r = reg[n](sf)
+            df = r.to_pandas() if hasattr(r, "to_pandas") else r
+            out[n] = (df[sorted(df.columns)]
+                      .sort_values(sorted(df.columns))
+                      .reset_index(drop=True))
+        return out
+
+    normal = run_all()
+    orig = Q.BROADCAST_MAX_BYTES
+    try:
+        Q.BROADCAST_MAX_BYTES = 0
+        forced = run_all()
+    finally:
+        Q.BROADCAST_MAX_BYTES = orig
+    for n in names:
+        pd.testing.assert_frame_equal(forced[n], normal[n],
+                                      check_dtype=False)
