@@ -80,7 +80,19 @@ class Gazetteer:
                 tags[end - 1] = "E-" + label
         return tags
 
-    def mentions_via_codec(self, tokens: list[str]) -> list[tuple[int, int, str, float]]:
-        """Tag then decode through the pinned span codec (exercises the same
-        path a real tagger would: tags -> decode_bioes -> spans)."""
-        return decode_bioes(self.tag_tokens(tokens))
+    def mentions_via_codec(self, tokens: list[str],
+                           via_codec: bool = False
+                           ) -> list[tuple[int, int, str, float]]:
+        """Spans with the codec-path output shape (start, end, label, 1.0).
+
+        For trie matches — non-overlapping, in order by construction — the
+        full codec round-trip (``tags -> decode_bioes -> spans``) is the
+        IDENTITY, so the production path returns the trie spans directly
+        (the round-trip was ~60% of the fused kernel's tagging cost).
+        ``via_codec=True`` runs the full path; the equality of both paths
+        on every corpus sentence is pinned by tests (and the codec itself
+        stays the decode surface for real tagger emissions / Viterbi)."""
+        if via_codec:
+            return decode_bioes(self.tag_tokens(tokens))
+        return [(s, e, label, 1.0)
+                for s, e, label in self.find_mentions(tokens)]

@@ -120,3 +120,26 @@ def test_label2mention():
         "B-ENT", "O", "B-ENT", "I-ENT"]
     # untouched inputs pass through
     assert label2mention(["O", "S-PER"]) == ["O", "S-PER"]
+
+
+def test_mentions_fast_path_equals_codec_path():
+    """The trie fast path == the full tags->decode codec round-trip on
+    every synthetic-corpus sentence (the identity the production path
+    relies on), including augmented sequences."""
+    from kb_ner_ray.data.synth import generate_corpus
+    from kb_ner_ray.functions.text import extract_text, split_sentences
+    from kb_ner_ray.state.gazetteer import Gazetteer
+
+    corpus = generate_corpus(40, seed=7)
+    gaz = Gazetteer(corpus["gazetteer"].to_pylist())
+    n_checked = n_spans = 0
+    for page in corpus["pages"].to_pylist():
+        for sent in split_sentences(extract_text(page["html"]),
+                                    page["lang"]):
+            toks = sent.split()
+            fast = gaz.mentions_via_codec(toks)
+            slow = gaz.mentions_via_codec(toks, via_codec=True)
+            assert fast == slow, sent
+            n_checked += 1
+            n_spans += len(fast)
+    assert n_checked > 100 and n_spans > 50
