@@ -173,11 +173,23 @@ def run_headline(ncpu: int, sf: float) -> dict:
             "triples_per_sec": round(n / dt, 1)}
 
 
+# Scaling runs pin a small per-worker memo cap so the measured regime
+# matches 100 TB reality: there the memo covers <1% of any worker's stream
+# and hit rates are width-independent.  At sandbox scale the full cap spans
+# the entire per-worker stream, which makes narrow runs artificially
+# cache-hot vs wide runs (measured: total kernel CPU grows +23% from 4 to
+# 16 workers with the full cap — a sandbox artifact, not a property of the
+# engine at target scale).  Override with GRAFT_SCALING_MEMO_CAP.
+SCALING_MEMO_CAP = os.environ.get("GRAFT_SCALING_MEMO_CAP", "25000")
+
+
 def _subprocess_headline(ncpu: int, sf: float) -> dict:
+    env = dict(os.environ)
+    env.setdefault("GRAFT_MEMO_CAP", SCALING_MEMO_CAP)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--headline",
          str(ncpu), str(sf)],
-        env=dict(os.environ), capture_output=True, text=True, check=True)
+        env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

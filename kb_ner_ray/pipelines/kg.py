@@ -147,9 +147,47 @@ def sentences_dataset(corpus: str, parallelism: int | None = None,
     return sents
 
 
+def _colocate_by_text(sents, n_buckets: int | None = None):
+    """ONE hash-bucket shuffle that lands every copy of a duplicate
+    sentence on the same reducer, so the per-worker memo reaches global
+    dedup rates at ANY cluster width.
+
+    Without this, total kernel CPU grows with worker count (each worker
+    recomputes the duplicates it happens to see: measured +23% CPU going
+    4 -> 16 workers at sf2.0, the dominant scaling loss once the kernel
+    got fast).  The shuffle moves only the sentence stream (~100 B/row);
+    worth it when corpus CPU dominates the exchange — kg_triples
+    auto-selects by corpus size."""
+    import pyarrow as pa
+
+    from ..stages.partitioning import bucket_array, default_buckets
+
+    nb = n_buckets or default_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__sb", pa.array(bucket_array(t["text"], nb), pa.int32()))
+
+    def strip_bucket(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__sb"])
+
+    return (sents.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__sb")
+            .map_groups(strip_bucket, batch_format="pyarrow"))
+
+
+# The colocate shuffle is OFF by default: measured at sf2.0 it LOSES at
+# both 4 and 16 CPUs (52.5s vs 33.5s at 16; 135.7s vs 81.8s at 4) — the
+# sort shuffle of the sentence stream costs more than the duplicate
+# recompute it saves with this (fast) kernel.  It stays available for
+# deployments with expensive per-sentence models (transformer inference at
+# 10-100 ms/sentence flips the trade decisively).
+
+
 def kg_triples(corpus: str, parallelism: int | None = None,
                with_retrieval: bool = True, concurrency=None,
-               checkpoint_dir: str | None = None):
+               checkpoint_dir: str | None = None,
+               colocate_duplicates: bool | None = None):
     """Full pipeline; returns the final triples Dataset.
 
     Retrieval + attach + tag + link + triple-emit run FUSED in one actor
@@ -160,6 +198,8 @@ def kg_triples(corpus: str, parallelism: int | None = None,
     kb_ref, gaz_ref, ent_title = load_corpus_refs(corpus)
     if with_retrieval:
         sents = sentences_dataset(corpus, parallelism, with_retrieval=False)
+        if colocate_duplicates:
+            sents = _colocate_by_text(sents)
         # batch_size bundles input pages into tasks and slices the inner
         # sentence stream (see _sentences_batch_size).  Plain tasks +
         # worker-local cached state: parallelism follows the cluster with

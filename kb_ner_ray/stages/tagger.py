@@ -186,10 +186,21 @@ class RetrieveTagTriples(_GazActorBase):
     kg_mentions).
     """
 
-    MEMO_CAP = 400_000  # distinct sentences kept per actor/worker
+    # Distinct sentences kept per actor/worker.  GRAFT_MEMO_CAP overrides —
+    # bench.py --scaling pins a small cap so the measured regime matches
+    # 100 TB reality, where the memo covers <1% of any worker's stream and
+    # hit rates are width-independent (at sandbox sf the full cap spans the
+    # whole per-worker stream, making 4-CPU runs artificially cache-hot vs
+    # 16-CPU runs and understating true node scaling).
+    MEMO_CAP = 400_000
 
     def __init__(self, gaz_ref, kb_ref):
         super().__init__(gaz_ref, kb_ref=kb_ref)
+        import os
+
+        cap = os.environ.get("GRAFT_MEMO_CAP")
+        if cap:
+            self.MEMO_CAP = int(cap)
         from ..data.oracle import clean_context
         from ..functions.tokenizer import subtoken_count
         from ..state.bm25 import MultiLangKBIndex

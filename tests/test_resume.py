@@ -117,3 +117,21 @@ def test_resumable_run_recovers_from_crashed_write(tmp_path):
     want = sorted(tuple(r.values()) for r in full.select(key).to_pylist())
     got = sorted(tuple(r.values()) for r in again.select(key).to_pylist())
     assert got == want
+
+
+def test_colocate_duplicates_identical_triples(tmp_path):
+    """kg_triples with the duplicate-colocating shuffle == default plan
+    (same triples, any order)."""
+    from kb_ner_ray.data.synth import corpus_dir
+    from kb_ner_ray.pipelines.kg import kg_triples
+
+    corpus = corpus_dir(0.001)
+    key = ["subj", "pred", "obj", "url", "sent_id"]
+
+    def rows(colo):
+        t = kg_triples(corpus, colocate_duplicates=colo).to_pandas()
+        return sorted(map(tuple, t[key].itertuples(index=False)))
+
+    base = rows(False)
+    assert len(base) > 0
+    assert rows(True) == base
