@@ -655,6 +655,164 @@ FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
 """
 
 
+def q_events_running_value(sf_dir: str):
+    """Per-user running sum (ROWS UNBOUNDED PRECEDING) — the cumulative
+    window seat: one coarse user-hash-bucket shuffle, vectorized groupby
+    cumsum inside the bucket.  Cents-scaled for a hash-stable oracle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    mask = _pow2_buckets() - 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
+        return t.append_column("bucket", b)
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        run = pd.Series(cents).groupby(
+            g["user_id"].to_numpy()).cumsum().to_numpy()
+        out = g[["event_id", "user_id"]].copy()
+        out["running_cents"] = run
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(running, batch_format="pandas"))
+
+
+SQL_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT seat: one row per user, one count column per event type —
+    combiner partials (per-batch group counts) + driver reshape; column
+    set is the small bounded dimension."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"user_id": t["user_id"],
+                          "event_type": t["event_type"]})
+                .group_by(["user_id", "event_type"])
+                .aggregate([("event_type", "count")]))
+
+    df = _tree_agg(ds, ["user_id", "event_type"], partial,
+                   {"event_type_count": "sum"})
+    wide = (df.pivot_table(index="user_id", columns="event_type",
+                           values="event_type_count", fill_value=0,
+                           aggfunc="sum")
+            .reset_index())
+    wide.columns.name = None
+    out = pd.DataFrame({"user_id": wide["user_id"].astype(np.int64)})
+    for c in sorted(c for c in wide.columns if c != "user_id"):
+        out[f"n_{c}"] = wide[c].astype(np.int64)
+    return out
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+RANGE_JOIN_DAYS = 7
+
+
+def q_orders_events_range_join(sf_dir: str):
+    """RANGE (interval) join — a seat Ray Data lacks natively: per order,
+    how many of the customer's events fall in [o_orderdate, o_orderdate +
+    7 days).  Both sides co-partitioned on the customer key (one
+    all-to-all each), per-bucket vectorized searchsorted over the sorted
+    event timestamps — the standard interval-join decomposition; the
+    partitioning assumption (by-key co-location) is the documented
+    requirement."""
+    from ..stages.partitioning import bucket_array, default_buckets
+
+    nb = default_buckets()
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def widen_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+            "ts": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "__side": pa.array(["L"] * t.num_rows, pa.string()),
+            "__b": pa.array(bucket_array(t["o_custkey"], nb), pa.int32()),
+        })
+
+    def widen_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["user_id"],
+            "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+            "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "ts": t["ts"].cast(pa.timestamp("us")),
+            "__side": pa.array(["R"] * t.num_rows, pa.string()),
+            "__b": pa.array(bucket_array(t["user_id"], nb), pa.int32()),
+        })
+
+    tagged = (orders.map_batches(widen_orders, batch_format="pyarrow")
+              .union(events.map_batches(widen_events,
+                                        batch_format="pyarrow")))
+
+    horizon = np.timedelta64(RANGE_JOIN_DAYS, "D")
+
+    def count_in_range(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"]
+        rg = g[g["__side"] == "R"]
+        out_rows = []
+        ev_by_user: dict = {}
+        for uid, sub in rg.groupby("key", sort=False):
+            ev_by_user[uid] = np.sort(
+                sub["ts"].to_numpy().astype("datetime64[us]"))
+        for uid, sub in lg.groupby("key", sort=False):
+            ts = ev_by_user.get(uid)
+            starts = sub["o_orderdate"].to_numpy().astype("datetime64[us]")
+            if ts is None or not len(ts):
+                counts = np.zeros(len(sub), dtype=np.int64)
+            else:
+                lo = np.searchsorted(ts, starts, side="left")
+                hi = np.searchsorted(ts, starts + horizon, side="left")
+                counts = (hi - lo).astype(np.int64)
+            out_rows.append(pd.DataFrame({
+                "o_orderkey": sub["o_orderkey"].astype("int64"),
+                "n_events_7d": counts,
+            }))
+        if not out_rows:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "n_events_7d": pd.Series([], dtype=np.int64)})
+        return pd.concat(out_rows, ignore_index=True)
+
+    return (tagged.groupby("__b")
+            .map_groups(count_in_range, batch_format="pandas"))
+
+
+SQL_RANGE_JOIN = f"""
+SELECT o.o_orderkey,
+       (SELECT count(*) FROM events e
+        WHERE e.user_id = o.o_custkey
+          AND e.ts >= o.o_orderdate
+          AND e.ts < o.o_orderdate + INTERVAL {RANGE_JOIN_DAYS} DAY)
+           AS n_events_7d
+FROM orders o
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1802,6 +1960,9 @@ def queries_registry():
         "events_sessionize": q_events_sessionize,
         "events_rolling_count": q_events_rolling_count,
         "events_lead_lag": q_events_lead_lag,
+        "events_running_value": q_events_running_value,
+        "events_pivot": q_events_pivot,
+        "orders_events_range_join": q_orders_events_range_join,
         "nation_median_acctbal": q_nation_median_acctbal,
         "nation_top3_names": q_nation_top3_names,
         "doc_token_explode": q_doc_token_explode,
@@ -1867,6 +2028,9 @@ def oracle_registry():
         "events_sessionize": SQL_SESSIONIZE,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
+        "events_running_value": SQL_RUNNING_VALUE,
+        "events_pivot": SQL_EVENTS_PIVOT,
+        "orders_events_range_join": SQL_RANGE_JOIN,
         "nation_median_acctbal": SQL_NATION_MEDIAN,
         "nation_top3_names": SQL_NATION_TOP3_NAMES,
         "doc_token_explode": SQL_TOKEN_EXPLODE,
