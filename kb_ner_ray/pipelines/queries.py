@@ -1911,6 +1911,68 @@ def q_multimodal_image_features(sf_dir: str):
         rd.from_arrow(make_fake_images(n)), allow_fake=True)
 
 
+def q_doc_repeated_ngrams(sf_dir: str):
+    """Cross-document repeated 10-gram passages (the boilerplate signal
+    behind Lee et al. 2022 training-data dedup): pre-aggregated gram->doc
+    pairs, one cluster-scaled gram-bucket shuffle, distinct-doc counts.
+    Rows-only (blake2b gram hashing isn't SQL-portable); semantics pinned
+    by the planted-passage test."""
+    from ..stages.dedup import repeated_ngrams
+
+    df = (repeated_ngrams(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=10, min_docs=2).to_pandas()
+        .sort_values(["n_docs", "gram"], ascending=[False, True])
+        .reset_index(drop=True))
+    return df
+
+
+def q_doc_gopher_rules(sf_dir: str):
+    """Gopher-style quality rules with integer-exact thresholds; every
+    rule boolean is verified by the SQL oracle (the canonical web-corpus
+    filter the quality score approximates)."""
+    from ..stages.textstats import doc_gopher_rules
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(doc_gopher_rules, batch_format="pyarrow"))
+
+
+SQL_GOPHER_RULES = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS total_chars,
+         length(text) - length(replace(text, '#', '')) AS hash_count
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(total_chars AS BIGINT) AS total_word_chars,
+       CAST(len(list_filter(toks,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           AS alpha_words,
+       CAST(hash_count AS BIGINT) AS hash_count,
+       CAST(CASE WHEN len(toks) BETWEEN 50 AND 100000
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+       CAST(CASE WHEN 3 * len(toks) <= total_chars
+                  AND total_chars <= 10 * len(toks)
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_len,
+       CAST(CASE WHEN 10 * len(list_filter(toks,
+                     w -> regexp_matches(w, '[A-Za-z]'))) >= 8 * len(toks)
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+       CAST(CASE WHEN 10 * hash_count <= len(toks)
+                 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+       CAST(CASE WHEN len(toks) BETWEEN 50 AND 100000
+                  AND 3 * len(toks) <= total_chars
+                  AND total_chars <= 10 * len(toks)
+                  AND 10 * len(list_filter(toks,
+                        w -> regexp_matches(w, '[A-Za-z]'))) >= 8 * len(toks)
+                  AND 10 * hash_count <= len(toks)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM t
+"""
+
+
 def q_heavy_hitters_events(sf_dir: str):
     """Misra-Gries top-10 heavy hitters over event_type (mergeable-summary
     combiner; rows-only — MG estimates are lower bounds, pinned exactly by
@@ -1979,6 +2041,8 @@ def queries_registry():
         "doc_fingerprints": q_doc_fingerprints,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
+        "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_repeated_ngrams": q_doc_repeated_ngrams,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_join": q_minhash_dedup_join,
@@ -2044,6 +2108,7 @@ def oracle_registry():
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "doc_quality": SQL_DOC_QUALITY,
+        "doc_gopher_rules": SQL_GOPHER_RULES,
         "dedup_exact": SQL_DEDUP_EXACT,
         "knn_bruteforce": SQL_KNN,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,

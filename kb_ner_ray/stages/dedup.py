@@ -587,3 +587,67 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.75,
         .map_groups(lambda g: _jaccard_pairs_in_block(g, threshold),
                     batch_format="pandas")
     )
+
+
+# ---- repeated n-gram (passage) detection -------------------------------------
+
+
+def _ngram_hashes(text: str, n: int) -> list[int]:
+    """Hashed word n-grams (positions overlap; blake2b, stable across
+    processes)."""
+    words = text.split()
+    if len(words) < n:
+        return []
+    return [
+        int.from_bytes(
+            hashlib.blake2b(" ".join(words[i:i + n]).encode(),
+                            digest_size=8).digest(), "big") >> 1
+        for i in range(len(words) - n + 1)
+    ]
+
+
+def repeated_ngrams(docs_ds, n: int = 10, min_docs: int = 2):
+    """Cross-document repeated passage detection (the phenomenon behind
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": boilerplate n-grams repeated across many documents).
+
+    Dataflow: doc -> hashed word n-grams (per-batch PRE-AGGREGATED to
+    (gram, doc) pairs, deduped within batch) -> ONE shuffle on a
+    cluster-scaled gram-hash bucket -> per-bucket distinct-doc counts ->
+    grams seen in >= min_docs documents, with total occurrence counts.
+    Returns (gram_hash, n_docs, n_occurrences).
+    """
+    from .partitioning import default_buckets
+
+    nb = default_buckets()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        gs, ds_, cnts = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            counts: dict[int, int] = {}
+            for g in _ngram_hashes(text, n):
+                counts[g] = counts.get(g, 0) + 1
+            for g, c in counts.items():
+                gs.append(g)
+                ds_.append(doc_id)
+                cnts.append(c)
+        t = pa.table({
+            "gram": pa.array(gs, pa.int64()),
+            "doc_id": pa.array(ds_, pa.int64()),
+            "cnt": pa.array(cnts, pa.int64()),
+        })
+        return t.append_column("__gb", pa.array(
+            (np.asarray(gs, dtype=np.int64) % nb).astype(np.int32)
+            if gs else np.array([], dtype=np.int32), pa.int32()))
+
+    def hot_grams(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("gram").agg(
+            n_docs=("doc_id", "nunique"), n_occurrences=("cnt", "sum"))
+        agg = agg[agg["n_docs"] >= min_docs].reset_index()
+        return agg.astype({"gram": "int64", "n_docs": "int64",
+                           "n_occurrences": "int64"})
+
+    return (docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+            .groupby("__gb")
+            .map_groups(hot_grams, batch_format="pandas"))

@@ -110,3 +110,51 @@ def doc_quality(batch: pa.Table) -> pa.Table:
         out.append(round(score, 6))
     return pa.table({"doc_id": stats.column("doc_id"),
                      "quality": pa.array(out, pa.float64())})
+
+
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def doc_gopher_rules(batch: pa.Table) -> pa.Table:
+    """Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", table A1 subset) with INTEGER-exact thresholds so
+    a SQL oracle can verify every boolean:
+
+    * r_words:    50 <= word count <= 100_000
+    * r_mean_len: mean word length in [3, 10]  (as 3*n <= chars <= 10*n)
+    * r_alpha:    >= 80% of words contain an alphabetic char
+    * r_symbol:   '#' chars <= 10% of word count
+    * keep = all of the above.
+    """
+    rows_id = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    n_words, total_chars, alpha_words, hash_count = [], [], [], []
+    for t in texts:
+        toks = _WS_RE.split(t.strip())
+        n_words.append(len(toks))
+        total_chars.append(sum(len(w) for w in toks))
+        alpha_words.append(sum(1 for w in toks if _ALPHA_RE.search(w)))
+        hash_count.append(t.count("#"))
+    import numpy as np
+
+    nw = np.array(n_words, dtype=np.int64)
+    tc = np.array(total_chars, dtype=np.int64)
+    aw = np.array(alpha_words, dtype=np.int64)
+    hc = np.array(hash_count, dtype=np.int64)
+    r_words = ((nw >= 50) & (nw <= 100_000)).astype(np.int64)
+    r_mean_len = ((3 * nw <= tc) & (tc <= 10 * nw)).astype(np.int64)
+    r_alpha = (10 * aw >= 8 * nw).astype(np.int64)
+    r_symbol = (10 * hc <= nw).astype(np.int64)
+    keep = (r_words & r_mean_len & r_alpha & r_symbol).astype(np.int64)
+    return pa.table({
+        "doc_id": rows_id,
+        "n_words": pa.array(nw, pa.int64()),
+        "total_word_chars": pa.array(tc, pa.int64()),
+        "alpha_words": pa.array(aw, pa.int64()),
+        "hash_count": pa.array(hc, pa.int64()),
+        "r_words": pa.array(r_words, pa.int64()),
+        "r_mean_len": pa.array(r_mean_len, pa.int64()),
+        "r_alpha": pa.array(r_alpha, pa.int64()),
+        "r_symbol": pa.array(r_symbol, pa.int64()),
+        "keep": pa.array(keep, pa.int64()),
+    })

@@ -325,3 +325,24 @@ def test_ngram_jaccard_salted_equals_plain(ray_session):
                .to_pandas().sort_values(["doc_a", "doc_b"])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_repeated_ngrams_finds_planted_passage(ray_session):
+    from kb_ner_ray.stages.dedup import _ngram_hashes, repeated_ngrams
+
+    passage = "the quick brown fox jumps over the lazy dog again today"
+    uniq = ["completely different sentence number %d with words %s" %
+            (i, " ".join(f"u{i}x{j}" for j in range(12))) for i in range(6)]
+    texts = [passage + " extra tail one",
+             "prefix words here " + passage,
+             passage] + uniq
+    df = repeated_ngrams(_docs_ds(texts), n=10, min_docs=2).to_pandas()
+    planted = set(_ngram_hashes(passage, 10))
+    found = set(df["gram"])
+    assert planted <= found  # every 10-gram of the passage repeats
+    assert (df["n_docs"] >= 2).all()
+    # unique docs contribute nothing
+    for u in uniq:
+        assert not (set(_ngram_hashes(u, 10)) & found)
+    row = df[df["gram"] == _ngram_hashes(passage, 10)[0]].iloc[0]
+    assert row["n_docs"] == 3 and row["n_occurrences"] == 3
