@@ -33,6 +33,9 @@ SIDE_QUERIES = [
     "ngram_jaccard",
     "knn_bruteforce",
     "kg_mentions",
+    "simhash_dedup",
+    "kg_mentions_iter2",
+    "doc_gopher_rules",
 ]
 
 

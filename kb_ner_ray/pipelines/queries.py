@@ -1973,6 +1973,42 @@ FROM t
 """
 
 
+def q_doc_word_repetition(sf_dir: str):
+    """Within-document repetition (the Gopher duplicate-fraction family,
+    adapted to single-line docs): distinct-word fraction per doc with an
+    integer-exact high-repetition flag (distinct < 60% of words)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        n_words, n_distinct = [], []
+        for text in t.column("text").to_pylist():
+            toks = text.split()
+            n_words.append(len(toks))
+            n_distinct.append(len(set(toks)))
+        nw = np.array(n_words, dtype=np.int64)
+        nd = np.array(n_distinct, dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(nw, pa.int64()),
+            "n_distinct_words": pa.array(nd, pa.int64()),
+            "high_repetition": pa.array(
+                (5 * nd < 3 * nw).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SQL_WORD_REPETITION = """
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+       CAST(CASE WHEN 5 * len(list_distinct(toks)) < 3 * len(toks)
+                 THEN 1 ELSE 0 END AS BIGINT) AS high_repetition
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents)
+"""
+
+
 def q_heavy_hitters_events(sf_dir: str):
     """Misra-Gries top-10 heavy hitters over event_type (mergeable-summary
     combiner; rows-only — MG estimates are lower bounds, pinned exactly by
@@ -2043,6 +2079,7 @@ def queries_registry():
         "doc_langid": q_doc_langid,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_repeated_ngrams": q_doc_repeated_ngrams,
+        "doc_word_repetition": q_doc_word_repetition,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_join": q_minhash_dedup_join,
@@ -2109,6 +2146,7 @@ def oracle_registry():
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_gopher_rules": SQL_GOPHER_RULES,
+        "doc_word_repetition": SQL_WORD_REPETITION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "knn_bruteforce": SQL_KNN,
         "embed_near_dup": SQL_EMBED_NEAR_DUP,
