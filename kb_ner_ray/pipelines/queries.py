@@ -1927,6 +1927,20 @@ def q_doc_repeated_ngrams(sf_dir: str):
     return df
 
 
+def q_approx_quantiles_value(sf_dir: str):
+    """Mergeable ε-approximate quantiles over events.value (equi-depth
+    grid partials -> driver weighted merge).  Rows-only: rank error is
+    bounded (N/k) but values are approximate by design; accuracy pinned by
+    tests/test_sketch.py."""
+    from ..stages.sketch import approx_quantiles
+
+    df = approx_quantiles(_read(sf_dir, "events", columns=["value"]),
+                          "value", qs=[0.5, 0.9, 0.99], k=256)
+    df["q_bp"] = _cents(df["q"], 10000)
+    df["value_cents"] = _cents(df["value"])
+    return df[["q_bp", "value_cents"]].astype(np.int64)
+
+
 def q_doc_gopher_rules(sf_dir: str):
     """Gopher-style quality rules with integer-exact thresholds; every
     rule boolean is verified by the SQL oracle (the canonical web-corpus
@@ -2067,6 +2081,7 @@ def queries_registry():
         "distinct_users": q_distinct_users,
         "approx_distinct_users": q_approx_distinct_users,
         "heavy_hitters_events": q_heavy_hitters_events,
+        "approx_quantiles_value": q_approx_quantiles_value,
         "events_asof_orders": q_events_asof_orders,
         "events_asof_bucketed": q_events_asof_bucketed,
         "revenue_by_nation_bucketed": q_revenue_by_nation_bucketed,

@@ -160,8 +160,30 @@ def asof_join(left_ds, right_ds, left_ts: str, right_ts: str,
                                                  batch_format="pandas")
 
 
+def _build_bloom(keys_ds, col: str, n_bits: int):
+    """Distributed Bloom build: per-batch partial filters OR-merged on the
+    driver (each partial is a fixed n_bits/8-byte blob — combiner-sized,
+    corpus-independent)."""
+    import numpy as np
+
+    from .partitioning import BloomFilter
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits)
+        bf.add_many(t[col])
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    bits = None
+    for b in (keys_ds.map_batches(partial, batch_format="pyarrow")
+              .to_pandas()["bits"]):
+        arr = np.frombuffer(b, dtype=np.uint8)
+        bits = arr.copy() if bits is None else bits | arr
+    return BloomFilter(n_bits, bits if bits is not None else None)
+
+
 def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
-              n_buckets: int | None = None, anti: bool = False):
+              n_buckets: int | None = None, anti: bool = False,
+              bloom_prefilter: bool = False, bloom_bits: int = 1 << 20):
     """Bucketed SEMI (or ANTI) join: keep left rows whose key does (not)
     appear on the right.  Right side is projected to its key column, both
     sides co-partitioned on ``hash(key) % n_buckets``, per-bucket filter is
@@ -171,6 +193,27 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
     if n_buckets is None:
         n_buckets = default_buckets()
     right_on = right_on or on
+    if bloom_prefilter:
+        # Bloom has no false NEGATIVES, so dropping definitely-absent left
+        # rows before the shuffle preserves semi-join exactness (false
+        # positives fall through to the exact in-bucket isin).  An ANTI
+        # join cannot use it: a false positive would wrongly DROP a row.
+        if anti:
+            raise ValueError("bloom_prefilter is unsound for anti joins")
+        import ray
+
+        from .partitioning import BloomFilter
+        from .similarity import _cached_state
+
+        bloom = _build_bloom(right_ds.select_columns([right_on]),
+                             right_on, bloom_bits)
+        bref = ray.put(bloom.bits)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            bf = BloomFilter(bloom_bits, _cached_state(bref, lambda b: b))
+            return t.filter(pa.array(bf.contains_many(t[on])))
+
+        left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
     l_schema = left_ds.schema()
     l_cols = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))

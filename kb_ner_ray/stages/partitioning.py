@@ -26,6 +26,49 @@ def default_buckets(per_cpu: int = 2, lo: int = 16, hi: int = 1024) -> int:
     return int(max(lo, min(hi, cpus * per_cpu)))
 
 
+class BloomFilter:
+    """Fixed-size mergeable Bloom filter over int/str keys (k=4 hashes via
+    double hashing on pandas' SipHash).  No false negatives — the safe
+    PRE-filter for semi joins: definitely-absent left rows drop before the
+    shuffle, false positives fall through to the exact in-bucket check.
+    Partials OR-merge (combiner pattern)."""
+
+    K = 4
+
+    def __init__(self, n_bits: int = 1 << 20, bits: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.bits = (bits if bits is not None
+                     else np.zeros(n_bits // 8 + 1, dtype=np.uint8))
+
+    def _positions(self, values) -> np.ndarray:
+        import pandas as pd
+
+        if hasattr(values, "to_numpy"):
+            values = values.to_numpy(zero_copy_only=False)
+        arr = np.asarray(values)
+        h1 = pd.util.hash_array(arr, categorize=False)
+        h2 = (h1 >> np.uint64(17)) | np.uint64(1)  # odd -> full cycle
+        ks = np.arange(self.K, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + ks * h2[None, :])
+                % np.uint64(self.n_bits)).reshape(-1)
+
+    def add_many(self, values) -> None:
+        pos = self._positions(values)
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         np.left_shift(1, (pos & 7)).astype(np.uint8))
+
+    def contains_many(self, values) -> np.ndarray:
+        pos = self._positions(values).reshape(self.K, -1)
+        ok = np.ones(pos.shape[1], dtype=bool)
+        for k in range(self.K):
+            p = pos[k]
+            ok &= (self.bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1 == 1
+        return ok
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        return BloomFilter(self.n_bits, self.bits | other.bits)
+
+
 def bucket_array(values, n_buckets: int) -> np.ndarray:
     """Deterministic vectorized bucket ids for an Arrow array / ChunkedArray
     / numpy array of ints or strings (pandas' SipHash; stable across

@@ -162,6 +162,58 @@ def heavy_hitters(ds, column: str, m: int = 64, k: int = 10):
     return pd.DataFrame(rows, columns=["value", "est_count", "err_bound"])
 
 
+def quantile_partial(batch: pa.Table, column: str = "",
+                     k: int = 256) -> pa.Table:
+    """Per-batch mergeable ε-approximate quantile summary (equi-depth
+    grid, the classic mergeable-histogram recipe): sort the batch, emit k
+    evenly spaced order statistics each carrying weight n/k.  Within-batch
+    rank error <= n/(2k); summaries concatenate and the merged weighted
+    quantile keeps total rank error <= N/k.  Deterministic, no RNG —
+    the scale path for holistic aggregates (the exact grouped median
+    co-locates its group; this one never does)."""
+    import numpy as np
+
+    vals = np.sort(batch.column(column).to_numpy(zero_copy_only=False)
+                   .astype(np.float64))
+    n = len(vals)
+    if n == 0:
+        return pa.table({"value": pa.array([], pa.float64()),
+                         "weight": pa.array([], pa.float64())})
+    kk = min(k, n)
+    idx = np.minimum(((np.arange(kk) + 0.5) * n / kk).astype(np.int64),
+                     n - 1)
+    return pa.table({
+        "value": pa.array(vals[idx], pa.float64()),
+        "weight": pa.array(np.full(kk, n / kk), pa.float64()),
+    })
+
+
+def approx_quantiles(ds, column: str, qs: list[float],
+                     k: int = 256):
+    """Dataset -> pandas (q, value): merged weighted quantiles over the
+    per-batch summaries (driver sees O(blocks x k) rows, never the
+    corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = (ds.map_batches(quantile_partial,
+                          fn_kwargs={"column": column, "k": k},
+                          batch_format="pyarrow")
+           .to_pandas().sort_values("value"))
+    w = pdf["weight"].to_numpy()
+    v = pdf["value"].to_numpy()
+    cum = np.cumsum(w)
+    total = cum[-1] if len(cum) else 0.0
+    rows = []
+    for q in qs:
+        if total == 0:
+            rows.append((q, float("nan")))
+            continue
+        i = int(np.searchsorted(cum, q * total, side="left"))
+        rows.append((q, float(v[min(i, len(v) - 1)])))
+    return pd.DataFrame(rows, columns=["q", "value"])
+
+
 def approx_distinct(ds, column: str, group_by: str | None = None,
                     k: int = 1024):
     """Dataset -> pandas (group, approx_distinct). Combiner partials merged

@@ -397,3 +397,50 @@ def test_plan_auto_selection_forced_bucketed(ray_session):
     for n in names:
         pd.testing.assert_frame_equal(forced[n], normal[n],
                                       check_dtype=False)
+
+
+def test_bloom_filter_laws():
+    import numpy as np
+
+    from kb_ner_ray.stages.partitioning import BloomFilter
+
+    bf = BloomFilter(n_bits=1 << 16)
+    present = np.arange(0, 2000)
+    bf.add_many(present)
+    # no false negatives
+    assert bf.contains_many(present).all()
+    absent = np.arange(10_000, 30_000)
+    fp = bf.contains_many(absent).mean()
+    assert fp < 0.05  # 2000 keys / 64k bits, k=4 -> tiny FP rate
+    # merge == union
+    a, b = BloomFilter(1 << 16), BloomFilter(1 << 16)
+    a.add_many(np.arange(100))
+    b.add_many(np.arange(100, 200))
+    m = a.merge(b)
+    assert m.contains_many(np.arange(200)).all()
+    # strings too
+    s = BloomFilter(1 << 16)
+    s.add_many(np.array(["x", "y"], dtype=object))
+    assert s.contains_many(np.array(["x", "y"], dtype=object)).all()
+
+
+def test_semi_join_bloom_prefilter_exact(ray_session):
+    import pyarrow as pa
+    import ray as _ray
+
+    from kb_ner_ray.stages.joins import semi_join
+
+    left = pa.table({"k": list(range(1000)), "v": [f"r{i}" for i in range(1000)]})
+    right = pa.table({"rk": [i * 7 % 1000 for i in range(150)]})
+    l_ds, r_ds = _ray.data.from_arrow(left), _ray.data.from_arrow(right)
+    plain = (semi_join(l_ds, r_ds, on="k", right_on="rk", n_buckets=4)
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    bloom = (semi_join(l_ds, r_ds, on="k", right_on="rk", n_buckets=4,
+                       bloom_prefilter=True, bloom_bits=1 << 14)
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    assert plain.equals(bloom)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semi_join(l_ds, r_ds, on="k", right_on="rk", anti=True,
+                  bloom_prefilter=True)

@@ -137,3 +137,37 @@ def test_heavy_hitters_distributed(ray_session):
     for _i, row in df.iterrows():
         assert row["est_count"] <= true[row["value"]]
         assert true[row["value"]] - row["est_count"] <= row["err_bound"] * 2
+
+
+def test_approx_quantiles_rank_error(ray_session):
+    """Merged equi-depth summaries stay within the N/k rank bound on
+    uniform and heavily skewed data."""
+    import numpy as np
+
+    from kb_ner_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.RandomState(13)
+    for data in (rng.rand(50_000) * 1000,
+                 np.exp(rng.randn(50_000) * 3)):  # lognormal skew
+        ds = ray.data.from_arrow(pa.table({"v": data})).repartition(16)
+        got = approx_quantiles(ds, "v", qs=[0.1, 0.5, 0.9, 0.99], k=256)
+        s = np.sort(data)
+        n = len(s)
+        for _i, row in got.iterrows():
+            # translate value error into rank error
+            rank = np.searchsorted(s, row["value"]) / n
+            assert abs(rank - row["q"]) < 2.5 * 16 / 256, (row["q"], rank)
+
+
+def test_quantile_partial_is_weighted_grid():
+    import numpy as np
+
+    from kb_ner_ray.stages.sketch import quantile_partial
+
+    t = pa.table({"v": np.arange(1000, dtype=np.float64)})
+    out = quantile_partial(t, column="v", k=10)
+    assert len(out) == 10
+    assert abs(sum(out["weight"].to_pylist()) - 1000) < 1e-9
+    vals = out["value"].to_pylist()
+    assert vals == sorted(vals)
+    assert vals[0] < 100 and vals[-1] > 900
