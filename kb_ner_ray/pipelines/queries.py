@@ -1704,6 +1704,51 @@ def q_kg_mentions_iter2(sf_dir: str):
         batch_format="pyarrow", batch_size=_sentences_batch_size(corpus))
 
 
+def q_kg_augment_conll(sf_dir: str):
+    """The reference's E2 product pipeline: CoNLL dataset in ->
+    retrieval-augmented CoNLL out (sentence lines keep labels, <EOS>
+    separator + context tokens labeled B-X).  Input is a deterministic
+    CoNLL render of the corpus sentences (cached under /tmp); output is
+    the augmented-sentences Dataset (rows-only; format pinned by
+    tests/test_augment.py)."""
+    import os
+
+    from ..pipelines.augment import augment_conll_dataset
+    from ..pipelines.kg import sentences_dataset
+
+    corpus = _corpus(sf_dir)
+    in_path = os.path.join(corpus, "conll_in.txt")
+    if not os.path.exists(in_path):
+        sents = (sentences_dataset(corpus, with_retrieval=False)
+                 .limit(500).to_pandas()
+                 .sort_values(["url", "sent_id"]))
+        lines = []
+        for _i, row in sents.iterrows():
+            lines.append(f"# id {row['url']}#{row['sent_id']}")
+            for w in row["text"].split():
+                lines.append(f"{w} O")
+            lines.append("")
+        tmp = in_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        os.replace(tmp, in_path)
+    ds = augment_conll_dataset(in_path, corpus,
+                               column_format={0: "text", 1: "ner"})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sent_key": t["sent_key"],
+            "n_tokens": pa.array(
+                [len(x) for x in t.column("text").to_pylist()], pa.int64()),
+            "n_aug_tokens": pa.array(
+                [len(x) for x in t.column("aug_tokens").to_pylist()],
+                pa.int64()),
+            "n_contexts": pc.cast(t["n_contexts"], pa.int64()),
+        })
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_kg_triples(sf_dir: str):
     from ..pipelines.kg import kg_triples
 
@@ -2121,6 +2166,7 @@ def queries_registry():
         "kg_mentions_viterbi": q_kg_mentions_viterbi,
         "kg_mentions_iter2": q_kg_mentions_iter2,
         "kg_contexts_reranked": q_kg_contexts_reranked,
+        "kg_augment_conll": q_kg_augment_conll,
         "kg_triples": q_kg_triples,
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_ensemble": q_kg_ensemble,
