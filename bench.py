@@ -209,13 +209,17 @@ def run_scaling() -> dict:
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
 
-    def best(ncpu: int) -> dict:
-        # min of 2 fresh-process runs — standard noise control; single-run
-        # wall swings +-15% on a shared box
-        runs = [_subprocess_headline(ncpu, SCALING_SF) for _ in range(2)]
-        return min(runs, key=lambda r: r["value"])
+    n_runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
 
-    r_lo, r_hi = best(lo), best(hi)
+    def rep(ncpu: int) -> dict:
+        # MEDIAN of fresh-process runs: a ratio metric is distorted by
+        # pairing each level's best draw (min), and single-run wall swings
+        # +-20% on a shared box
+        runs = sorted((_subprocess_headline(ncpu, SCALING_SF)
+                       for _ in range(n_runs)), key=lambda r: r["value"])
+        return runs[len(runs) // 2]
+
+    r_lo, r_hi = rep(lo), rep(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

@@ -105,9 +105,8 @@ class RetrieveAttach(_KBActorBase):
                     [(self.kb_clean[i], self.kb_cost[i]) for i, _s in hits],
                     min_rank=self.min_rank, max_rank=self.max_rank,
                 )
-                if len(memo) >= self.MEMO_CAP:
-                    memo.clear()
-                memo[(text, lang)] = res
+                if len(memo) < self.MEMO_CAP:  # freeze-when-full
+                    memo[(text, lang)] = res
             augs.append(res[0])
             n_ctxs.append(res[1])
         return batch.append_column(

@@ -96,9 +96,10 @@ class TagLink(_GazActorBase):
             rows = memo.get((text, aug))
             if rows is None:
                 rows = self._mention_rows(text, aug)
-                if len(memo) >= self.MEMO_CAP:
-                    memo.clear()
-                memo[(text, aug)] = rows
+                # freeze-when-full: serving existing hits beats the
+                # clear-all thrash (which made run times order-dependent)
+                if len(memo) < self.MEMO_CAP:
+                    memo[(text, aug)] = rows
             for start, end, surf, label, score, ent in rows:
                 urls.append(url)
                 sids.append(sid)
@@ -252,9 +253,8 @@ class RetrieveTagTriples(_GazActorBase):
             res = self._memo.get((text, lang))
             if res is None:
                 res = self._sentence_triples(text, lang)
-                if len(self._memo) >= self.MEMO_CAP:
-                    self._memo.clear()
-                self._memo[(text, lang)] = res
+                if len(self._memo) < self.MEMO_CAP:  # freeze-when-full
+                    self._memo[(text, lang)] = res
             for surf1, ent1, pred, surf2, ent2 in res:
                 s_surf.append(surf1)
                 s_ent.append(ent1)
@@ -447,9 +447,8 @@ def retrieve_tag_triples_shared(batch: pa.Table, kb_ref=None, gaz_ref=None,
         res = memo.get((text, lang))
         if res is None:
             res = st._sentence_triples(text, lang)
-            if len(memo) >= st.MEMO_CAP:
-                memo.clear()
-            memo[(text, lang)] = res
+            if len(memo) < st.MEMO_CAP:  # freeze-when-full
+                memo[(text, lang)] = res
         for surf1, ent1, pred, surf2, ent2 in res:
             s_surf.append(surf1)
             s_ent.append(ent1)
@@ -522,9 +521,8 @@ class RetrieveTagMentions(RetrieveTagTriples):
             res = self._memo.get(key)
             if res is None:
                 res = self._sentence_mentions_rows(text, lang)
-                if len(self._memo) >= self.MEMO_CAP:
-                    self._memo.clear()
-                self._memo[key] = res
+                if len(self._memo) < self.MEMO_CAP:  # freeze-when-full
+                    self._memo[key] = res
             for start, end, surf, label, score, ent in res:
                 urls.append(url)
                 sids.append(sid)
