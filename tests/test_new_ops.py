@@ -444,3 +444,26 @@ def test_semi_join_bloom_prefilter_exact(ray_session):
     with _pytest.raises(ValueError):
         semi_join(l_ds, r_ds, on="k", right_on="rk", anti=True,
                   bloom_prefilter=True)
+
+
+def test_registry_window_carries_full_signal():
+    """The correctness driver checks only the FIRST 50 registry entries
+    (round-2 verdict: the flagship chain sat past the window and was
+    silently skipped).  Pin the invariants: the flagship kg_* chain +
+    multimodal trio sit inside the window, and every distinct oracle SQL
+    is exercised by at least one in-window query (out-of-window oracled
+    entries must be plan-parity duplicates sharing an in-window SQL)."""
+    from kb_ner_ray.pipelines.queries import oracle_registry, queries_registry
+
+    names = list(queries_registry())
+    window = set(names[:50])
+    flagship = {"kg_triples", "kg_mentions", "kg_mentions_viterbi",
+                "kg_mentions_iter2", "kg_ensemble", "kg_extract_docs",
+                "kg_sentences", "kg_contexts", "corpus_prep", "doc_splits",
+                "multimodal_image_features", "multimodal_audio_features",
+                "multimodal_video_frames"}
+    assert flagship <= window, flagship - window
+    oracles = oracle_registry()
+    in_window_sql = {sql for n, sql in oracles.items() if n in window}
+    for n, sql in oracles.items():
+        assert sql in in_window_sql, f"oracle for {n!r} never checked"
