@@ -1227,11 +1227,33 @@ NEAR_DUP_COSINE = 0.45  # chosen so the driver tables yield non-trivial pairs
 
 
 def q_embed_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup via hyperplane-LSH banding (one shuffle,
-    in-band exact cosine verification, NO full-matrix broadcast — the
-    round-1 O(N) per-worker / O(N^2) compute plan is retired to a test
-    baseline).  Exact DuckDB oracle stays green: verification is exact and
-    the 16x4-bit banding miss probability at cosine 0.95 is ~5e-8."""
+    """Embedding-cosine pair join, EXACT at any threshold: triangle-
+    blocked all-pairs (stages/similarity.cosine_pairs_blocked) — every
+    unordered pair matmul-verified in exactly one of S*(S+1)/2 cells, no
+    broadcast, recall 1 by construction.
+
+    Round-2 advice: the LSH-banded plan misses ~2-4% of pairs at the
+    query's 0.45 threshold (banding recall ~1 only near cosine 1), so it
+    cannot sit behind an exact SQL oracle at this threshold.  The banded
+    plan remains the high-threshold scale path as the rows-only
+    ``embed_near_dup_lsh`` query + planted-duplicate recall test."""
+    from ..stages.similarity import cosine_pairs_blocked
+
+    df = cosine_pairs_blocked(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=NEAR_DUP_COSINE).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+    df["sim_bp"] = _cents(df["sim"], 10000)
+    return df[["vec_a", "vec_b", "sim_bp"]].astype(np.int64)
+
+
+def q_embed_near_dup_lsh(sf_dir: str):
+    """The banded scale path (hyperplane-LSH, in-band exact verify,
+    first-colliding-band emission, hot buckets triangle-redistributed).
+    Rows-only: banding recall at this low threshold is ~0.96-0.98, so no
+    exact oracle (recall -> 1 as cosine -> 1; a planted-duplicate pytest
+    pins full recall at 0.95)."""
     from ..stages.similarity import near_dup_pairs_lsh
 
     df = near_dup_pairs_lsh(
@@ -1240,7 +1262,8 @@ def q_embed_near_dup(sf_dir: str):
     if df.empty:
         df = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
     df["sim_bp"] = _cents(df["sim"], 10000)
-    return df[["vec_a", "vec_b", "sim_bp"]].astype(np.int64)
+    return (df[["vec_a", "vec_b", "sim_bp"]].astype(np.int64)
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
 
 
 SQL_EMBED_NEAR_DUP = f"""
@@ -2174,6 +2197,7 @@ def queries_registry():
         # -- past the 50-entry window: rows-only + plan-parity variants ---
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "ivf_knn": q_ivf_knn,
         "approx_distinct_users": q_approx_distinct_users,
         "heavy_hitters_events": q_heavy_hitters_events,

@@ -43,20 +43,164 @@ import pandas as pd
 import pyarrow as pa
 
 _log = logging.getLogger(__name__)
-_warned_truncation = False
 
 
-def _warn_truncation(where: str, size: int, cap: int) -> None:
-    """No silent caps: a giant LSH bucket beyond ``max_group`` means
-    dropped candidate pairs — say so (once per worker) instead of reading
-    as full coverage.  The structural fix for a persistently hot bucket is
-    the 2D decomposition used by ngram_jaccard_pairs(block_split=...)."""
-    global _warned_truncation
-    if not _warned_truncation:
-        _warned_truncation = True
-        _log.warning(
-            "%s: bucket of %d docs capped at %d - pairs beyond the cap "
-            "are NOT examined (skew guard)", where, size, cap)
+# ---- overflow engine: hot LSH buckets redistribute instead of truncating ----
+#
+# Round-2 verdict + advice: the ``max_group`` caps in the banded plans
+# silently DROPPED candidate pairs beyond the cap, and the
+# first-colliding-band emission made the loss global (a pair whose first
+# colliding band fell in a truncated bucket was skipped by every later
+# band).  The structural fix proven by ngram_jaccard_pairs(block_split=S)
+# — the triangle self-join decomposition — is now applied to every banded
+# plan: a bucket larger than ``max_group`` emits its MEMBER rows (kind=1)
+# instead of pairs; a second, overflow-only shuffle splits each hot bucket
+# into S*(S+1)/2 sub-groups (S = ceil(size/max_group), so sub-parts stay
+# <= max_group) processed by different reducers.  No pair is ever dropped;
+# the per-reducer quadratic is bounded by ~max_group^2; the extra shuffle
+# carries only the hot buckets (empty in the common case, detected on the
+# materialized — bounded, pairs+overflow-sized — pass-1 output).
+
+
+def _tri_part(doc_ids, S: int) -> np.ndarray:
+    """Deterministic triangle part for each doc id (same multiplicative
+    hash as _jaccard_salted_rows, stable across processes)."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    return ((ids * 2654435761) % (1 << 32) % S).astype(np.int32)
+
+
+def _tri_grp_key(band_id: int, bkey: str, gi: int, gj: int) -> int:
+    """Shuffle key for one (bucket, triangle-cell) sub-group.  Collisions
+    across buckets are harmless: pass-2 re-groups by (band_id, bkey,
+    gi, gj) inside the reducer."""
+    raw = hashlib.blake2b(f"{band_id}|{bkey}|{gi}|{gj}".encode(),
+                          digest_size=8).digest()
+    return int.from_bytes(raw, "big") >> 1
+
+
+def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
+                          pair_fn, pair_schema: dict[str, object],
+                          max_group: int = 200):
+    """Banded candidate/verify plan with NO recall loss under hot buckets.
+
+    ``rows_ds``: (band_grp, band_id, <key_col>, doc_id, *payload_cols) —
+    one row per (doc, band), ``band_grp`` the cluster-scaled shuffle key.
+
+    ``pair_fn(left, right)``: member frames (right=None => within-left,
+    i<j) -> DataFrame(doc_a, doc_b, *pair_schema).  It must emit each
+    qualifying pair at most once GLOBALLY (first-colliding-band logic
+    computed from the carried payloads); cross calls must orient
+    (doc_a, doc_b) = (min, max) themselves.
+
+    Returns a Dataset with columns (doc_a, doc_b, *pair_schema).
+    """
+    pair_names = list(pair_schema)
+
+    def _unified(pairs: pd.DataFrame | None, members: pd.DataFrame | None,
+                 S: int = 0) -> pd.DataFrame:
+        n = len(pairs) if pairs is not None else (
+            len(members) if members is not None else 0)
+        out = {
+            "kind": np.full(n, 0 if pairs is not None else 1, dtype=np.int8),
+            "doc_a": (pairs["doc_a"].to_numpy(np.int64)
+                      if pairs is not None else np.zeros(n, np.int64)),
+            "doc_b": (pairs["doc_b"].to_numpy(np.int64)
+                      if pairs is not None else np.zeros(n, np.int64)),
+        }
+        for c, dt in pair_schema.items():
+            out[c] = (pairs[c].to_numpy(dt) if pairs is not None
+                      else np.zeros(n, dtype=dt))
+        src = members if members is not None else None
+        out["band_id"] = (src["band_id"].to_numpy(np.int32) if src is not None
+                          else np.zeros(n, np.int32))
+        out["bkey"] = (src[key_col].astype(str).to_numpy(object)
+                       if src is not None else np.full(n, "", object))
+        out["doc_id"] = (src["doc_id"].to_numpy(np.int64) if src is not None
+                         else np.zeros(n, np.int64))
+        for c in payload_cols:
+            out[c] = (src[c].to_numpy(object) if src is not None
+                      else np.full(n, b"", object))
+        out["ovf_s"] = np.full(n, S, dtype=np.int32)
+        return pd.DataFrame(out)
+
+    def pass1(group: pd.DataFrame) -> pd.DataFrame:
+        outs = [_unified(None, None)]
+        sizes = group.groupby(key_col)["doc_id"].transform("size")
+        for _bk, grp in group[sizes >= 2].groupby(key_col, sort=False):
+            grp = grp.drop_duplicates("doc_id")
+            if len(grp) < 2:
+                continue
+            if len(grp) <= max_group:
+                outs.append(_unified(pair_fn(grp.sort_values("doc_id"), None),
+                                     None))
+            else:
+                S = -(-len(grp) // max_group)  # ceil
+                _log.info("banded_pairs_overflow: bucket of %d docs "
+                          "redistributed over %d triangle cells (no pairs "
+                          "dropped)", len(grp), S * (S + 1) // 2)
+                outs.append(_unified(None, grp, S=S))
+        return pd.concat(outs, ignore_index=True)
+
+    out1 = (rows_ds.groupby("band_grp")
+            .map_groups(pass1, batch_format="pandas")
+            .materialize())  # bounded: pairs + hot-bucket member rows
+
+    def take_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["kind"] == 0][["doc_a", "doc_b", *pair_names]]
+
+    pairs = out1.map_batches(take_pairs, batch_format="pandas")
+
+    ovf = out1.map_batches(
+        lambda df: df[df["kind"] == 1][
+            ["band_id", "bkey", "doc_id", *payload_cols, "ovf_s"]],
+        batch_format="pandas").materialize()
+    if ovf.count() == 0:
+        return pairs
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            S = int(r["ovf_s"])
+            p = int(_tri_part([r["doc_id"]], S)[0])
+            for i in range(S):
+                for j in range(i, S):
+                    if p != i and p != j:
+                        continue
+                    rows.append((
+                        _tri_grp_key(int(r["band_id"]), r["bkey"], i, j),
+                        int(r["band_id"]), r["bkey"], i, j, p,
+                        int(r["doc_id"]),
+                        *[r[c] for c in payload_cols]))
+        cols = ["tri_grp", "band_id", "bkey", "gi", "gj", "part", "doc_id",
+                *payload_cols]
+        out = pd.DataFrame(rows, columns=cols)
+        return out.astype({"tri_grp": np.int64, "band_id": np.int32,
+                           "gi": np.int32, "gj": np.int32,
+                           "part": np.int32, "doc_id": np.int64})
+
+    def pass2(group: pd.DataFrame) -> pd.DataFrame:
+        outs = [pd.DataFrame({"doc_a": np.array([], np.int64),
+                              "doc_b": np.array([], np.int64),
+                              **{c: np.array([], dtype=dt)
+                                 for c, dt in pair_schema.items()}})]
+        for (_b, _k, gi, gj), grp in group.groupby(
+                ["band_id", "bkey", "gi", "gj"], sort=False):
+            grp = grp.drop_duplicates("doc_id")
+            if gi == gj:
+                sub = grp[grp["part"] == gi].sort_values("doc_id")
+                if len(sub) >= 2:
+                    outs.append(pair_fn(sub, None))
+            else:
+                left = grp[grp["part"] == gi].sort_values("doc_id")
+                right = grp[grp["part"] == gj].sort_values("doc_id")
+                if len(left) and len(right):
+                    outs.append(pair_fn(left, right))
+        return pd.concat(outs, ignore_index=True)
+
+    pairs2 = (ovf.map_batches(expand, batch_format="pandas")
+              .groupby("tri_grp")
+              .map_groups(pass2, batch_format="pandas"))
+    return pairs.union(pairs2)
 
 # ---- exact dedup ------------------------------------------------------------
 
@@ -169,29 +313,22 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
     )
 
 
-def candidate_pairs_from_band(group: pd.DataFrame,
-                              max_group: int = 200) -> pd.DataFrame:
-    """ALL buckets of one band -> unique candidate (a < b) pairs.
-
-    The group key is band_grp (cluster-scaled COARSE key), NOT
-    (band_id, band_hash): per-group pandas dispatch costs ~0.1 ms, so
-    grouping on the ~|corpus| distinct bucket hashes would cost more than
-    the hashing itself.  Bucket collisions are found vectorized inside the
-    group; giant buckets capped at ``max_group`` docs (skew guard)."""
-    sizes = group.groupby("band_hash")["doc_id"].transform("size")
-    hot = group[sizes >= 2]
-    a, b = [], []
-    for _bh, grp in hot.groupby("band_hash", sort=False):
-        uniq = sorted(grp["doc_id"].unique())
-        if len(uniq) > max_group:
-            _warn_truncation("minhash candidate_pairs", len(uniq), max_group)
-        ids = uniq[:max_group]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-    return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
-                         "doc_b": np.array(b, dtype=np.int64)})
+def _candidate_pair_fn(left: pd.DataFrame,
+                       right: pd.DataFrame | None) -> pd.DataFrame:
+    """All candidate pairs of one bucket (or one triangle cell of a hot
+    bucket).  Duplicates across bands are fine — the join plan dedups
+    candidates downstream on a pair-bucket shuffle."""
+    if right is None:
+        ids = left["doc_id"].to_numpy(np.int64)
+        i, j = np.triu_indices(len(ids), k=1)
+        a, b = ids[i], ids[j]
+    else:
+        la = left["doc_id"].to_numpy(np.int64)
+        rb = right["doc_id"].to_numpy(np.int64)
+        a = np.repeat(la, len(rb))
+        b = np.tile(rb, len(la))
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
 
 
 def shingle_signatures(batch: pa.Table) -> pa.Table:
@@ -246,60 +383,72 @@ def minhash_bands_with_sig(batch: pa.Table) -> pa.Table:
     )
 
 
-def verified_pairs_from_band(group: pd.DataFrame, threshold: float,
-                             max_group: int = 200) -> pd.DataFrame:
-    """One band group -> exact-jaccard-verified pairs, emitted GLOBALLY
-    once: a pair is emitted only from its FIRST colliding band (both
-    docs' full minhash signatures ride along, so "is an earlier band also
-    colliding?" is a local slice comparison).  No cross-band dedup
-    shuffle needed."""
-    band_id = int(group["band_id"].iloc[0]) if len(group) else 0
-    sizes = group.groupby("band_hash")["doc_id"].transform("size")
-    hot = group[sizes >= 2]
-    rows = []
-    for _bh, grp in hot.groupby("band_hash", sort=False):
-        grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(grp) > max_group:
-            _warn_truncation("minhash verified_pairs", len(grp), max_group)
-            grp = grp.head(max_group)
-        ids = grp["doc_id"].tolist()
+def _minhash_pair_fn(threshold: float):
+    """pair_fn for banded_pairs_overflow: exact-jaccard-verified pairs,
+    emitted GLOBALLY once — a pair is emitted only from its FIRST
+    colliding band (both docs' full minhash signatures ride along, so
+    "is an earlier band also colliding?" is a local slice comparison).
+    Works identically for a whole bucket (right=None, i<j) and for one
+    triangle cell of a redistributed hot bucket (cross)."""
+
+    def _unpack(grp):
+        ids = grp["doc_id"].to_numpy(np.int64)
         msigs = [np.frombuffer(m, dtype=np.int64).reshape(
             N_BANDS, ROWS_PER_BAND) for m in grp["msig"]]
         sigs = [np.frombuffer(s, dtype=np.int64) for s in grp["sh"]]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                collide = (msigs[i] == msigs[j]).all(axis=1)
-                first = int(np.argmax(collide)) if collide.any() else band_id
-                if first != band_id:
-                    continue  # an earlier band emits this pair
-                inter = len(np.intersect1d(sigs[i], sigs[j],
-                                           assume_unique=True))
-                denom = len(sigs[i]) + len(sigs[j]) - inter
-                jac = inter / denom if denom else 0.0
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], jac))
-    # explicit dtypes: an empty object-typed frame trips Ray's block-size
-    # estimator ("cannot call `vectorize` on size 0 inputs")
-    return pd.DataFrame({
-        "doc_a": np.array([r[0] for r in rows], dtype=np.int64),
-        "doc_b": np.array([r[1] for r in rows], dtype=np.int64),
-        "jaccard": np.array([r[2] for r in rows], dtype=np.float64),
-    })
+        return ids, msigs, sigs
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame | None) -> pd.DataFrame:
+        band_id = int(left["band_id"].iloc[0])
+        ids_a, msigs_a, sigs_a = _unpack(left)
+        if right is None:
+            ids_b, msigs_b, sigs_b = ids_a, msigs_a, sigs_a
+            pi, pj = np.triu_indices(len(ids_a), k=1)
+        else:
+            ids_b, msigs_b, sigs_b = _unpack(right)
+            pi = np.repeat(np.arange(len(ids_a)), len(ids_b))
+            pj = np.tile(np.arange(len(ids_b)), len(ids_a))
+        rows = []
+        for i, j in zip(pi, pj):
+            collide = (msigs_a[i] == msigs_b[j]).all(axis=1)
+            first = int(np.argmax(collide)) if collide.any() else band_id
+            if first != band_id:
+                continue  # an earlier band emits this pair
+            inter = len(np.intersect1d(sigs_a[i], sigs_b[j],
+                                       assume_unique=True))
+            denom = len(sigs_a[i]) + len(sigs_b[j]) - inter
+            jac = inter / denom if denom else 0.0
+            if jac >= threshold:
+                lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
+                rows.append((lo, hi, jac))
+        # explicit dtypes: an empty object-typed frame trips Ray's
+        # block-size estimator ("cannot call `vectorize` on size 0 inputs")
+        return pd.DataFrame({
+            "doc_a": np.array([r[0] for r in rows], dtype=np.int64),
+            "doc_b": np.array([r[1] for r in rows], dtype=np.int64),
+            "jaccard": np.array([r[2] for r in rows], dtype=np.float64),
+        })
+
+    return fn
 
 
-def minhash_lsh_pairs_inband(docs_ds, threshold: float = 0.8):
-    """Dataset(doc_id, text) -> verified near-dup pairs in ONE shuffle and
-    zero broadcast: banding shuffle with signatures riding along, in-band
-    exact verification, first-colliding-band emission (globally unique
-    pairs with no dedup pass).  Shuffle payload is N_BANDS x signature
-    bytes — choose minhash_lsh_pairs (join path, 2x signature bytes but 3
-    shuffles) when that multiplier is the bottleneck."""
-    return (
-        docs_ds.map_batches(minhash_bands_with_sig, batch_format="pyarrow")
-        .groupby("band_grp")
-        .map_groups(verified_pairs_from_band, batch_format="pandas",
-                    fn_kwargs={"threshold": threshold})
-    )
+def minhash_lsh_pairs_inband(docs_ds, threshold: float = 0.8,
+                             max_group: int = 200):
+    """Dataset(doc_id, text) -> verified near-dup pairs, zero broadcast:
+    banding shuffle with signatures riding along, in-band exact
+    verification, first-colliding-band emission (globally unique pairs
+    with no dedup pass).  Hot buckets (> max_group docs) are triangle-
+    redistributed by banded_pairs_overflow instead of truncated — no
+    recall loss, bounded per-reducer quadratic.  Shuffle payload is
+    N_BANDS x signature bytes — choose minhash_lsh_pairs (join path, 2x
+    signature bytes but 3 shuffles) when that multiplier is the
+    bottleneck."""
+    rows = docs_ds.map_batches(minhash_bands_with_sig,
+                               batch_format="pyarrow")
+    return banded_pairs_overflow(
+        rows, key_col="band_hash", payload_cols=["msig", "sh"],
+        pair_fn=_minhash_pair_fn(threshold),
+        pair_schema={"jaccard": np.float64}, max_group=max_group)
 
 
 def minhash_lsh_pairs(docs_ds, threshold: float = 0.8):
@@ -325,9 +474,10 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.8):
             bucket_array(t["doc_a"], n_pb), pa.int32()))
 
     cands = (
-        docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
-        .groupby("band_grp")
-        .map_groups(candidate_pairs_from_band, batch_format="pandas")
+        banded_pairs_overflow(
+            docs_ds.map_batches(minhash_bands, batch_format="pyarrow"),
+            key_col="band_hash", payload_cols=[],
+            pair_fn=_candidate_pair_fn, pair_schema={})
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(
@@ -410,50 +560,63 @@ def simhash_bands(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_pairs_from_band(group: pd.DataFrame, max_dist: int = 3,
-                            max_group: int = 200) -> pd.DataFrame:
-    """Buckets of one coarse band group (see candidate_pairs_from_band):
-    Hamming-verify pairs inside each colliding band_val bucket; a pair is
-    emitted ONLY from its first colliding band (computable locally from
-    the two simhash values), so the output needs no cross-band dedup."""
-    band_id = int(group["band_id"].iloc[0]) if len(group) else 0
-    sizes = group.groupby("band_val")["doc_id"].transform("size")
-    hot = group[sizes >= 2]
-    a, b, d = [], [], []
-    for _bv, grp in hot.groupby("band_val", sort=False):
-        g = grp.drop_duplicates("doc_id")
-        if len(g) > max_group:
-            _warn_truncation("simhash pairs", len(g), max_group)
-        g = g.nsmallest(max_group, "doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                x, y = int(hs[i]), int(hs[j])
-                first = next((bnd for bnd in range(4)
-                              if ((x >> (bnd * 16)) & 0xFFFF)
-                              == ((y >> (bnd * 16)) & 0xFFFF)), band_id)
-                if first != band_id:
-                    continue  # an earlier band emits this pair
-                dist = int(bin(x ^ y).count("1"))
-                if dist <= max_dist:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    d.append(dist)
-    return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
-                         "doc_b": np.array(b, dtype=np.int64),
-                         "hamming": np.array(d, dtype=np.int64)})
+def _simhash_pair_fn(max_dist: int):
+    """pair_fn for banded_pairs_overflow: Hamming-verified pairs, emitted
+    only from the pair's first colliding band (computable locally from
+    the two simhash values riding the shuffle)."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame | None) -> pd.DataFrame:
+        band_id = int(left["band_id"].iloc[0])
+        ids_a = left["doc_id"].to_numpy(np.int64)
+        hs_a = [int.from_bytes(v, "big") for v in left["simhash"]]
+        if right is None:
+            ids_b, hs_b = ids_a, hs_a
+            pi, pj = np.triu_indices(len(ids_a), k=1)
+        else:
+            ids_b = right["doc_id"].to_numpy(np.int64)
+            hs_b = [int.from_bytes(v, "big") for v in right["simhash"]]
+            pi = np.repeat(np.arange(len(ids_a)), len(ids_b))
+            pj = np.tile(np.arange(len(ids_b)), len(ids_a))
+        a, b, d = [], [], []
+        for i, j in zip(pi, pj):
+            x, y = hs_a[i], hs_b[j]
+            first = next((bnd for bnd in range(4)
+                          if ((x >> (bnd * 16)) & 0xFFFF)
+                          == ((y >> (bnd * 16)) & 0xFFFF)), band_id)
+            if first != band_id:
+                continue  # an earlier band emits this pair
+            dist = int(bin(x ^ y).count("1"))
+            if dist <= max_dist:
+                lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
+                a.append(lo)
+                b.append(hi)
+                d.append(dist)
+        return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
+                             "doc_b": np.array(b, dtype=np.int64),
+                             "hamming": np.array(d, dtype=np.int64)})
+
+    return fn
 
 
-def simhash_near_dups(docs_ds, max_dist: int = 3):
-    """ONE shuffle, globally unique pairs (first-colliding-band emission
-    replaced the round-1 repartition(1) + dedup pass)."""
-    return (
-        docs_ds.map_batches(simhash_bands, batch_format="pyarrow")
-        .groupby("band_grp")
-        .map_groups(lambda g: simhash_pairs_from_band(g, max_dist),
-                    batch_format="pandas")
-    )
+def simhash_near_dups(docs_ds, max_dist: int = 3, max_group: int = 200):
+    """Globally unique Hamming<=max_dist pairs via 4x16-bit banding;
+    first-colliding-band emission (no dedup pass), hot buckets triangle-
+    redistributed by banded_pairs_overflow instead of truncated.  The
+    simhash value rides the shuffle as 8 fixed bytes (uint64 doesn't
+    survive the pandas map_groups round-trip as an exact dtype)."""
+
+    def to_bytes(t: pa.Table) -> pa.Table:
+        vals = [int(v).to_bytes(8, "big")
+                for v in t.column("simhash").to_pylist()]
+        return (t.drop_columns(["simhash"])
+                .append_column("simhash", pa.array(vals, pa.binary())))
+
+    rows = (docs_ds.map_batches(simhash_bands, batch_format="pyarrow")
+            .map_batches(to_bytes, batch_format="pyarrow"))
+    return banded_pairs_overflow(
+        rows, key_col="band_val", payload_cols=["simhash"],
+        pair_fn=_simhash_pair_fn(max_dist),
+        pair_schema={"hamming": np.int64}, max_group=max_group)
 
 
 # ---- blocked character-set Jaccard (exact-oracle flavour) -------------------

@@ -276,10 +276,10 @@ def _sign_bands(m: np.ndarray) -> np.ndarray:
 
 def _lsh_band_rows(batch: pa.Table) -> pa.Table:
     """(vec_id, embedding) -> one row per band: (band_id, band_key,
-    vec_id, emb bytes).  The embedding rides along (LSH_BANDS x 8*dim
-    bytes through the shuffle) so exact verification AND global pair
-    dedup happen inside the band group — same shape as the in-band
-    MinHash plan."""
+    doc_id, emb bytes) in the banded_pairs_overflow row contract.  The
+    embedding rides along (LSH_BANDS x 8*dim bytes through the shuffle)
+    so exact verification AND global pair dedup happen inside the band
+    group — same shape as the in-band MinHash plan."""
     from .partitioning import default_buckets
 
     P = max(1, default_buckets() // LSH_BANDS)
@@ -293,58 +293,177 @@ def _lsh_band_rows(batch: pa.Table) -> pa.Table:
         "band_grp": pa.array((band_ids * P + flat_keys % P).astype(np.int32)),
         "band_id": pa.array(band_ids.astype(np.int32)),
         "band_key": pa.array(flat_keys, pa.int64()),
-        "vec_id": pa.array(np.repeat(vids, LSH_BANDS), pa.int64()),
+        "doc_id": pa.array(np.repeat(vids, LSH_BANDS), pa.int64()),
         "emb": pa.array([m[i].tobytes() for i in range(n)
                          for _ in range(LSH_BANDS)], pa.binary()),
     })
 
 
-def _verified_pairs_from_lsh_band(group: pd.DataFrame, threshold: float,
-                                  max_group: int = 500) -> pd.DataFrame:
-    """One band group -> exact-cosine-verified pairs, emitted globally
-    once (only from the pair's first colliding band, recomputed locally
-    from the carried embeddings)."""
-    band_id = int(group["band_id"].iloc[0]) if len(group) else 0
-    sizes = group.groupby("band_key")["vec_id"].transform("size")
-    hot = group[sizes >= 2]
-    a_out, b_out, s_out = [], [], []
-    for _bk, grp in hot.groupby("band_key", sort=False):
-        grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(grp) > max_group:
-            from .dedup import _warn_truncation
+def _lsh_pair_fn(threshold: float):
+    """pair_fn for banded_pairs_overflow: exact-cosine-verified pairs,
+    emitted globally once (only from the pair's first colliding band,
+    recomputed locally from the carried embeddings)."""
 
-            _warn_truncation("lsh near_dup", len(grp), max_group)
-            grp = grp.head(max_group)
-        ids = grp["vec_id"].to_numpy()
-        m = np.stack([np.frombuffer(e, dtype=np.float64)
-                      for e in grp["emb"]])
-        sims = m @ m.T
-        keys = _sign_bands(m)  # (g, LSH_BANDS)
-        gi, gj = np.triu_indices(len(ids), k=1)
-        for i, j in zip(gi, gj):
+    def fn(left: pd.DataFrame, right: pd.DataFrame | None) -> pd.DataFrame:
+        band_id = int(left["band_id"].iloc[0])
+        ids_a = left["doc_id"].to_numpy(np.int64)
+        m_a = np.stack([np.frombuffer(e, dtype=np.float64)
+                        for e in left["emb"]])
+        if right is None:
+            ids_b, m_b = ids_a, m_a
+            pi, pj = np.triu_indices(len(ids_a), k=1)
+        else:
+            ids_b = right["doc_id"].to_numpy(np.int64)
+            m_b = np.stack([np.frombuffer(e, dtype=np.float64)
+                            for e in right["emb"]])
+            pi = np.repeat(np.arange(len(ids_a)), len(ids_b))
+            pj = np.tile(np.arange(len(ids_b)), len(ids_a))
+        sims = m_a @ m_b.T
+        keys_a = _sign_bands(m_a)
+        keys_b = keys_a if right is None else _sign_bands(m_b)
+        a_out, b_out, s_out = [], [], []
+        for i, j in zip(pi, pj):
             if sims[i, j] < threshold:
                 continue
-            collide = keys[i] == keys[j]
+            collide = keys_a[i] == keys_b[j]
             first = int(np.argmax(collide)) if collide.any() else band_id
             if first != band_id:
                 continue
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+            lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
+            a_out.append(lo)
+            b_out.append(hi)
             s_out.append(sims[i, j])
-    # explicit dtypes: empty object-typed frames trip Ray's size estimator
-    return pd.DataFrame({"vec_a": np.array(a_out, dtype=np.int64),
-                         "vec_b": np.array(b_out, dtype=np.int64),
-                         "sim": np.array(s_out, dtype=np.float64)})
+        # explicit dtypes: empty object frames trip Ray's size estimator
+        return pd.DataFrame({"doc_a": np.array(a_out, dtype=np.int64),
+                             "doc_b": np.array(b_out, dtype=np.int64),
+                             "sim": np.array(s_out, dtype=np.float64)})
+
+    return fn
 
 
-def near_dup_pairs_lsh(emb_ds, threshold: float = 0.95):
-    """Pairs (a < b) with cosine >= threshold in ONE shuffle, no
-    broadcast: hyperplane-sign banding (reusing the simhash banding
-    pattern), in-band exact cosine verification, first-colliding-band
-    emission.  Per-worker memory is bounded by the band group, not the
-    corpus."""
-    return (emb_ds.map_batches(_lsh_band_rows, batch_format="pyarrow")
-            .groupby("band_grp")
-            .map_groups(_verified_pairs_from_lsh_band,
-                        batch_format="pandas",
+def near_dup_pairs_lsh(emb_ds, threshold: float = 0.95,
+                       max_group: int = 500):
+    """Pairs (a < b) with cosine >= threshold via hyperplane-sign banding
+    (no broadcast): in-band exact cosine verification, first-colliding-
+    band emission, hot buckets triangle-redistributed (no truncation,
+    see dedup.banded_pairs_overflow).  Per-worker memory is bounded by
+    the band group / triangle cell, never the corpus.
+
+    RECALL is the banding probability, NOT 1: with 16 bands x 4 sign
+    bits, a qualifying pair at cosine c escapes every band with
+    probability (1 - (1 - arccos(c)/pi)^4)^16 — ~5e-8 at c=0.95 but
+    ~2-4% at c=0.45.  This is the high-threshold near-dup scale path;
+    for an exhaustive low-threshold pair join use the exact
+    ``cosine_pairs_blocked`` plan instead."""
+    from .dedup import banded_pairs_overflow
+
+    rows = emb_ds.map_batches(_lsh_band_rows, batch_format="pyarrow")
+    out = banded_pairs_overflow(
+        rows, key_col="band_key", payload_cols=["emb"],
+        pair_fn=_lsh_pair_fn(threshold),
+        pair_schema={"sim": np.float64}, max_group=max_group)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["vec_a", "vec_b", "sim"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+# ---- exact blocked cosine pair join (triangle decomposition) ----------------
+
+
+def _cosine_tri_rows(batch: pa.Table, S: int) -> pa.Table:
+    """Explode each vector into its triangle-decomposition groups (same
+    scheme as dedup._jaccard_salted_rows): part p = hash(vec_id) % S; the
+    vector joins every cell (i, j), i<=j, with p in {i, j} — S rows per
+    vector, each unordered pair of vectors meets in EXACTLY one cell."""
+    vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize(_matrix(batch.column("embedding")))
+    parts = ((vids * 2654435761) % (1 << 32) % S).astype(np.int32)
+    keys, gis, gjs, pouts, ids, embs = [], [], [], [], [], []
+    for r in range(len(vids)):
+        p = int(parts[r])
+        eb = m[r].tobytes()
+        for i in range(S):
+            for j in range(i, S):
+                if p != i and p != j:
+                    continue
+                keys.append(i * S + j)
+                gis.append(i)
+                gjs.append(j)
+                pouts.append(p)
+                ids.append(int(vids[r]))
+                embs.append(eb)
+    return pa.table({
+        "cell": pa.array(keys, pa.int32()),
+        "gi": pa.array(gis, pa.int32()),
+        "gj": pa.array(gjs, pa.int32()),
+        "part": pa.array(pouts, pa.int32()),
+        "vec_id": pa.array(ids, pa.int64()),
+        "emb": pa.array(embs, pa.binary()),
+    })
+
+
+def _cosine_pairs_in_cell(group: pd.DataFrame,
+                          threshold: float) -> pd.DataFrame:
+    empty = pd.DataFrame({"vec_a": np.array([], np.int64),
+                          "vec_b": np.array([], np.int64),
+                          "sim": np.array([], np.float64)})
+    if not len(group):
+        return empty
+    gi = int(group["gi"].iloc[0])
+    gj = int(group["gj"].iloc[0])
+    g = group.drop_duplicates("vec_id")
+
+    def unpack(sub):
+        return (sub["vec_id"].to_numpy(np.int64),
+                np.stack([np.frombuffer(e, dtype=np.float64)
+                          for e in sub["emb"]]))
+
+    if gi == gj:
+        sub = g[g["part"] == gi].sort_values("vec_id")
+        if len(sub) < 2:
+            return empty
+        ids, m = unpack(sub)
+        sims = m @ m.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = sims[i, j] >= threshold
+        a, b, s = ids[i[keep]], ids[j[keep]], sims[i[keep], j[keep]]
+    else:
+        left = g[g["part"] == gi]
+        right = g[g["part"] == gj]
+        if not len(left) or not len(right):
+            return empty
+        la, ma = unpack(left)
+        rb, mb = unpack(right)
+        sims = ma @ mb.T
+        i, j = np.nonzero(sims >= threshold)
+        a, b = la[i], rb[j]
+        a, b = np.minimum(a, b), np.maximum(a, b)
+        s = sims[i, j]
+    return pd.DataFrame({"vec_a": a.astype(np.int64),
+                         "vec_b": b.astype(np.int64),
+                         "sim": s.astype(np.float64)})
+
+
+def cosine_pairs_blocked(emb_ds, threshold: float,
+                         block_split: int | None = None):
+    """EXACT cosine pair join (a < b, cos >= threshold) via the triangle
+    self-join decomposition: S*(S+1)/2 cells, each vector replicated into
+    S cells, every unordered pair verified by matmul in exactly one cell.
+
+    This is the exhaustive plan: recall 1 by construction at ANY
+    threshold (an exact low-threshold similarity join is inherently
+    O(n^2) compute — no banding scheme prunes it without recall loss; cf.
+    the recall note on near_dup_pairs_lsh).  The O(n^2) work is what gets
+    distributed: per-cell memory/compute is (2n/S)^2-bounded, nothing is
+    broadcast, the only shuffle carries S x (8*dim)-byte rows.  Default S
+    targets ~one cell per shuffle reducer."""
+    from .partitioning import default_buckets
+
+    S = block_split or max(2, int(np.ceil(np.sqrt(2 * default_buckets()))))
+    return (emb_ds.map_batches(_cosine_tri_rows, fn_kwargs={"S": S},
+                               batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(_cosine_pairs_in_cell, batch_format="pandas",
                         fn_kwargs={"threshold": threshold}))

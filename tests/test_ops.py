@@ -346,3 +346,91 @@ def test_repeated_ngrams_finds_planted_passage(ray_session):
         assert not (set(_ngram_hashes(u, 10)) & found)
     row = df[df["gram"] == _ngram_hashes(passage, 10)[0]].iloc[0]
     assert row["n_docs"] == 3 and row["n_occurrences"] == 3
+
+def _pairs_set(df):
+    return set(map(tuple, df[["doc_a", "doc_b"]].itertuples(index=False)))
+
+
+def test_hot_bucket_overflow_no_pair_loss(ray_session):
+    """Round-2 verdict/advice: hot LSH buckets must triangle-redistribute,
+    not truncate.  A planted 60-identical-doc bucket forced through
+    max_group=10 (S=6 triangle cells) yields EXACTLY the same pairs as
+    the no-overflow run — all C(60,2), each emitted once."""
+    from kb_ner_ray.stages.dedup import minhash_lsh_pairs_inband
+
+    n_dup = 60
+    texts = (["same words repeated for every planted duplicate doc " * 3]
+             * n_dup
+             + [f"unique filler document number {i} with words {i * 7}"
+                for i in range(20)])
+    small = (minhash_lsh_pairs_inband(_docs_ds(texts), threshold=0.9,
+                                      max_group=10)
+             .to_pandas())
+    big = (minhash_lsh_pairs_inband(_docs_ds(texts), threshold=0.9,
+                                    max_group=1000)
+           .to_pandas())
+    want = {(i, j) for i in range(n_dup) for j in range(i + 1, n_dup)}
+    assert _pairs_set(big) >= want
+    assert _pairs_set(small) == _pairs_set(big)
+    # each pair exactly once (first-colliding-band emission survives
+    # redistribution)
+    assert len(small) == len(small.drop_duplicates(["doc_a", "doc_b"]))
+
+
+def test_simhash_overflow_no_pair_loss(ray_session):
+    texts = (["identical body for the simhash hot bucket test " * 4] * 40
+             + [f"distinct text {i} " + " ".join(f"q{i}{k}" for k in range(30))
+                for i in range(10)])
+    small = simhash_near_dups(_docs_ds(texts), max_dist=3,
+                              max_group=8).to_pandas()
+    big = simhash_near_dups(_docs_ds(texts), max_dist=3,
+                            max_group=1000).to_pandas()
+    want = {(i, j) for i in range(40) for j in range(i + 1, 40)}
+    assert _pairs_set(big) >= want
+    assert _pairs_set(small) == _pairs_set(big)
+    assert len(small) == len(small.drop_duplicates(["doc_a", "doc_b"]))
+
+
+def test_lsh_embed_overflow_no_pair_loss(ray_session):
+    from kb_ner_ray.stages.similarity import near_dup_pairs_lsh
+
+    rng = np.random.RandomState(7)
+    dup = rng.randn(64)
+    mat = np.vstack([np.tile(dup, (30, 1)) + 0.001 * rng.randn(30, 64),
+                     rng.randn(20, 64)])
+    small = near_dup_pairs_lsh(_emb_ds(mat), threshold=0.95,
+                               max_group=6).to_pandas()
+    big = near_dup_pairs_lsh(_emb_ds(mat), threshold=0.95,
+                             max_group=1000).to_pandas()
+
+    def vpairs(df):
+        return set(map(tuple, df[["vec_a", "vec_b"]].itertuples(index=False)))
+
+    want = {(i, j) for i in range(30) for j in range(i + 1, 30)}
+    assert vpairs(big) >= want
+    assert vpairs(small) == vpairs(big)
+    assert len(small) == len(small.drop_duplicates(["vec_a", "vec_b"]))
+
+
+def test_cosine_pairs_blocked_matches_broadcast_exactly(ray_session):
+    """The triangle-blocked exact plan == the broadcast baseline at a LOW
+    threshold (0.45) where LSH banding loses ~2-4% of pairs — this plan
+    is what sits behind the exact SQL oracle."""
+    import pandas as pd
+
+    from kb_ner_ray.stages.similarity import cosine_pairs_blocked
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(80, 32)
+    ref = ray.put((list(range(len(mat))), mat))
+    want = (near_dup_pairs(_emb_ds(mat), ref, threshold=0.45).to_pandas()
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    for S in (2, 5):
+        got = (cosine_pairs_blocked(_emb_ds(mat), threshold=0.45,
+                                    block_split=S).to_pandas()
+               .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+        assert len(want) > 5  # non-trivial pair count at 0.45
+        pd.testing.assert_frame_equal(
+            got[["vec_a", "vec_b"]], want[["vec_a", "vec_b"]],
+            check_dtype=False)
+        assert np.allclose(got["sim"], want["sim"])
