@@ -106,6 +106,11 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / headline, 1),
+        # Box-noise control, self-adjudicating (BASELINE.md caveat): the
+        # wall time of a trivial 6-row aggregate untouched since round 1.
+        # Healthy box: 0.5-1.3 s at sf0.1/32cpu.  3-5 s means this draw
+        # hit a degraded-box episode — discount the whole record.
+        "box_control_sec": timings["pricing_summary"],
     }
 
 

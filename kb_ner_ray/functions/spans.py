@@ -110,7 +110,15 @@ def decode_bioes(
         prev = "O-"
         while i < n and tags[i] not in ("", "O"):
             tag = tags[i]
-            if tag[0:2] not in ("B-", "I-", "O-", "E-", "S-"):
+            if tag[0:2] == "O-":
+                # a literal 'O-…' tag is OUTSIDE (flair/data.py:461 treats
+                # the 'O-' prefix like bare 'O'); without this the run-scan
+                # would absorb it into a span labelled '…'
+                flush()
+                prev = "O-"
+                i += 1
+                continue
+            if tag[0:2] not in ("B-", "I-", "E-", "S-"):
                 tag = "S-" + tag
             starts_new = tag[0:2] in ("B-", "S-")
             if prev[0:2] == "S-" and prev[2:] != tag[2:]:

@@ -145,7 +145,10 @@ def heavy_hitters(ds, column: str, m: int = 64, k: int = 10):
     hitters.  Combiner partials merged on the driver via the
     mergeable-summary rule (sum matching counters, subtract the (m+1)-th
     largest, drop non-positive) — O(blocks x m) driver rows.  est_count
-    underestimates the true count by at most ``err_bound`` = N_total/m."""
+    underestimates the true count by at most ``err_bound`` =
+    N_total/m + cut: the summed per-batch MG partials carry up to
+    N_total/m of decay error, and the final merge cut subtracts exactly
+    ``cut`` more (tracked, 0 when the merged counter set fits in m)."""
     import pandas as pd
 
     pdf = ds.map_batches(
@@ -154,11 +157,12 @@ def heavy_hitters(ds, column: str, m: int = 64, k: int = 10):
     total_n = int(pdf["batch_n"].sum())
     data = pdf[pdf["cnt"] > 0]
     agg = data.groupby("value")["cnt"].sum().to_dict()
+    cut = 0
     if len(agg) > m:
         cut = sorted(agg.values(), reverse=True)[m]
         agg = {v: c - cut for v, c in agg.items() if c - cut > 0}
     sk = MGSketch(m, agg)
-    rows = [(v, int(c), total_n // m) for v, c in sk.top(k)]
+    rows = [(v, int(c), total_n // m + cut) for v, c in sk.top(k)]
     return pd.DataFrame(rows, columns=["value", "est_count", "err_bound"])
 
 

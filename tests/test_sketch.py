@@ -136,7 +136,9 @@ def test_heavy_hitters_distributed(ray_session):
     n = len(vals)
     for _i, row in df.iterrows():
         assert row["est_count"] <= true[row["value"]]
-        assert true[row["value"]] - row["est_count"] <= row["err_bound"] * 2
+        # the emitted bound is now honest (N/m partial decay + tracked
+        # merge cut), so the deficit must fit within ONE bound
+        assert true[row["value"]] - row["est_count"] <= row["err_bound"]
 
 
 def test_approx_quantiles_rank_error(ray_session):

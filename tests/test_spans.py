@@ -58,6 +58,17 @@ def test_decode_bare_tag_is_single():
     assert [s[:3] for s in decode_bioes(["PER", "O"])] == [(0, 1, "PER")]
 
 
+def test_decode_literal_o_prefix_is_outside():
+    # a raw 'O-…' tag is OUTSIDE (flair 'O-' prefix == bare 'O'); the
+    # round-2 run-scan rewrite briefly absorbed it into a span (advice)
+    assert [s[:3] for s in decode_bioes(["B-PER", "O-X", "S-LOC"])] == [
+        (0, 1, "PER"), (2, 3, "LOC")]
+    assert decode_bioes(["O-X", "O-X"]) == []
+    # and it splits a span exactly like a bare 'O' would
+    assert ([s[:3] for s in decode_bioes(["B-PER", "O-X", "I-PER"])]
+            == [s[:3] for s in decode_bioes(["B-PER", "O", "I-PER"])])
+
+
 def test_decode_scores_mean():
     spans = decode_bioes(["B-PER", "E-PER"], scores=[0.8, 0.6])
     assert abs(spans[0][3] - 0.7) < 1e-9
