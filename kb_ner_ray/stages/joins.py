@@ -18,6 +18,10 @@ import pyarrow as pa
 
 from .partitioning import bucket_array, default_buckets
 
+# Probe-side chunk size for the in-bucket merge (see merge_bucket): bounds
+# the pandas hash-merge intermediate when a bucket is oversized.
+MERGE_CHUNK_ROWS = 1 << 18
+
 
 def hash_join(left_ds, right_ds, on: str, n_buckets: int | None = None,
               how: str = "inner"):
@@ -68,7 +72,23 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int | None = None,
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "L"][l_out]
         rg = g[g["__side"] == "R"][[on] + r_out]
-        joined = lg.merge(rg, on=on, how=how)
+        # Sub-batch the probe side: a bucket is ~corpus/fan-out rows, and
+        # pandas' hash merge spikes to build-table + full-output at once.
+        # Chunking the left (probe) frame bounds the per-merge working set
+        # so an oversized bucket degrades gracefully instead of OOMing the
+        # reducer.  Sound for inner/left joins only (each probe row joins
+        # independently); this operator supports exactly those.
+        if how not in ("inner", "left"):
+            raise ValueError(f"unsupported how={how!r} (inner/left only)")
+        if len(lg) <= MERGE_CHUNK_ROWS:
+            joined = lg.merge(rg, on=on, how=how)
+        else:
+            import numpy as np
+
+            joined = pd.concat(
+                [c.merge(rg, on=on, how=how) for c in np.array_split(
+                    lg, -(-len(lg) // MERGE_CHUNK_ROWS))],
+                ignore_index=True)
         # the null-widened union floats integer columns; restore dtypes
         for c in int_cols:
             if c in joined.columns and joined[c].notna().all():

@@ -13,17 +13,28 @@ from __future__ import annotations
 import numpy as np
 
 
-def default_buckets(per_cpu: int = 2, lo: int = 16, hi: int = 1024) -> int:
-    """Bucket fan-out scaled to the cluster: ~``per_cpu`` buckets per CPU,
-    clamped.  Buckets are shuffle-reducer units — more than a few per CPU
-    only adds scheduling overhead; fewer serializes reducers."""
+def default_buckets(per_cpu: int = 2, lo: int = 16,
+                    hi: int | None = None) -> int:
+    """Bucket fan-out scaled to the cluster: ~``per_cpu`` buckets per CPU.
+    Buckets are shuffle-reducer units — more than a few per CPU only adds
+    scheduling overhead; fewer serializes reducers.
+
+    There is deliberately NO upper clamp by default (round-2 verdict: the
+    old ``hi=1024`` cap meant one bucket = corpus/1024 beyond 512 CPUs —
+    too big for one reducer at 100 TB).  The per-bucket memory bound is
+    therefore ~corpus_bytes/(cpus*per_cpu) at any cluster size; pass
+    ``hi`` only when a caller has a structural reason to bound fan-out
+    (e.g. a band-count divisor)."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return int(max(lo, min(hi, cpus * per_cpu)))
+    n = max(lo, cpus * per_cpu)
+    if hi is not None:  # an explicit cap wins over the floor
+        n = min(hi, n)
+    return int(n)
 
 
 class BloomFilter:

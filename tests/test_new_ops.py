@@ -190,6 +190,44 @@ def test_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_hash_join_fanout_extremes_and_chunked_merge(ray_session,
+                                                     monkeypatch):
+    """Round-2 verdict done-criterion: the bucketed join stays exact with
+    the fan-out forced tiny (8 — giant buckets, exercises the chunked
+    probe-side merge) and huge (4096 — mostly-empty buckets), now that
+    default_buckets has no hi=1024 clamp."""
+    import pandas as pd
+    import ray as _ray
+
+    from kb_ner_ray.stages import joins
+
+    rng = np.random.RandomState(3)
+    left = pa.table({"k": pa.array(rng.randint(0, 40, 3000), pa.int64()),
+                     "lv": pa.array(rng.randint(0, 99, 3000), pa.int64())})
+    right = pa.table({"k": pa.array(rng.randint(0, 50, 400), pa.int64()),
+                      "rv": pa.array(rng.randint(0, 99, 400), pa.int64())})
+    want = (left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    monkeypatch.setattr(joins, "MERGE_CHUNK_ROWS", 100)  # force chunk path
+    for nb in (8, 4096):
+        got = (joins.hash_join(_ray.data.from_arrow(left),
+                               _ray.data.from_arrow(right),
+                               on="k", n_buckets=nb).to_pandas()
+               [["k", "lv", "rv"]]
+               .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_default_buckets_scales_past_old_clamp():
+    from kb_ner_ray.stages.partitioning import default_buckets
+
+    # the fan-out must keep growing with the cluster (no 1024 ceiling)...
+    assert default_buckets(per_cpu=2, hi=None) >= 16
+    # ...as computed from CPUs: simulate by the pure arithmetic contract
+    assert default_buckets(per_cpu=2, lo=16, hi=8) == 8   # explicit cap only
+    assert default_buckets(per_cpu=1024, lo=16) > 1024    # no implicit cap
+
+
 def test_hash_join_rejects_column_collision(ray_session):
     import ray as _ray
 
