@@ -21,6 +21,38 @@ import ray
 SESSION_GAP_MIN = 30
 
 
+def _ordered_stream(events_ds, simulate_ordered: bool):
+    """Yield ts-ordered pandas batches under the ordered-log contract.
+
+    ``simulate_ordered=True`` (the sandbox default): the input is a bounded
+    TABLE standing in for a stream, so sort it once to SIMULATE the ordered
+    log a real deployment would receive.  ``simulate_ordered=False`` (what
+    a real feed must use): consume as-is and ENFORCE the contract — a
+    batch that breaks global non-decreasing ``ts`` order raises instead of
+    being silently re-sorted (a deployment must never re-sort the stream
+    it claims is already ordered; round-2 verdict #5)."""
+    if simulate_ordered:
+        yield from events_ds.sort("ts").iter_batches(batch_size=4096,
+                                                     batch_format="pandas")
+        return
+    last = None
+    for batch in events_ds.iter_batches(batch_size=4096,
+                                        batch_format="pandas"):
+        ts = batch["ts"]
+        if len(ts):
+            if not ts.is_monotonic_increasing:
+                raise ValueError(
+                    "ordered-log contract violated: ts not non-decreasing "
+                    "within a batch (pass simulate_ordered=True only for "
+                    "bounded-table stand-ins)")
+            if last is not None and ts.iloc[0] < last:
+                raise ValueError(
+                    "ordered-log contract violated: batch starts at "
+                    f"{ts.iloc[0]} before previous batch end {last}")
+            last = ts.iloc[-1]
+        yield batch
+
+
 @ray.remote(num_cpus=0)
 class SessionBucket:
     """Incremental per-user session state for one key-hash bucket."""
@@ -57,16 +89,17 @@ class SessionBucket:
 
 
 def sessionize_stream(events_ds, n_buckets: int = 8,
-                      gap_min: int = SESSION_GAP_MIN) -> pd.DataFrame:
-    """Consume a ts-sorted events Dataset through the bucket actors.
+                      gap_min: int = SESSION_GAP_MIN,
+                      simulate_ordered: bool = True) -> pd.DataFrame:
+    """Consume a ts-ordered events Dataset through the bucket actors.
 
-    The sort is the "ordered log" contract; a real feed arrives ordered.
     Events are routed by user_id %% n_buckets; each bucket actor sees its
-    users' events in global ts order, so per-user order holds.
+    users' events in global ts order, so per-user order holds.  See
+    ``_ordered_stream`` for the ordered-log contract: a real feed passes
+    ``simulate_ordered=False`` and order violations raise.
     """
     actors = [SessionBucket.remote(gap_min) for _ in range(n_buckets)]
-    stream = events_ds.sort("ts").iter_batches(batch_size=4096,
-                                               batch_format="pandas")
+    stream = _ordered_stream(events_ds, simulate_ordered)
     pending = []
     for batch in stream:
         b = batch["user_id"].astype(int) % n_buckets
@@ -140,16 +173,18 @@ class WindowBucket:
 
 def windowed_count_stream(events_ds, key: str = "event_type",
                           window_min: int = 60,
-                          n_buckets: int = 4) -> pd.DataFrame:
-    """Consume a ts-sorted events Dataset through tumbling-window bucket
+                          n_buckets: int = 4,
+                          simulate_ordered: bool = True) -> pd.DataFrame:
+    """Consume a ts-ordered events Dataset through tumbling-window bucket
     actors; returns (key, window_start, n_events, value_sum) — identical
     to the batch hourly aggregate when window_min=60 (pinned by test).
-    Incremental results stream back from every ``feed`` call."""
+    Incremental results stream back from every ``feed`` call.  See
+    ``_ordered_stream`` for the ordered-log contract (real feeds pass
+    ``simulate_ordered=False``; violations raise)."""
     import zlib
 
     actors = [WindowBucket.remote(window_min) for _ in range(n_buckets)]
-    stream = events_ds.sort("ts").iter_batches(batch_size=4096,
-                                               batch_format="pandas")
+    stream = _ordered_stream(events_ds, simulate_ordered)
     rows: list[tuple] = []
     pending = []
     for batch in stream:
