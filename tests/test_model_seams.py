@@ -1,0 +1,216 @@
+"""Day-one conformance harness for the real-model seams (round-2 verdict
+missing-item #2: the HF subtoken backend, the cross-encoder scorer seam and
+model-logit emissions are seamed but never run with real weights in this
+sandbox).
+
+The transformers-gated tests SKIP cleanly here and run on day one of a GPU
+deployment; the logit-decode tests run everywhere (ground truth is
+exhaustive path enumeration — the optimum flair's ``_viterbi_decode``
+computes, reference ``flair/models/sequence_tagger_model.py:1248-1327``).
+
+Golden files live in ``tests/golden/``: a gated test RECORDS the golden on
+its first real-environment run and ASSERTS against it on every run after,
+so tokenizer upgrades that change token counts are caught as diffs.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = Path(__file__).parent / "golden"
+
+try:  # gated: absent in this sandbox
+    import transformers  # noqa: F401
+
+    HAVE_TRANSFORMERS = True
+except ImportError:
+    HAVE_TRANSFORMERS = False
+
+# Fixed probe corpus for tokenizer conformance: latin, punctuation-heavy,
+# CJK, long-token, mixed-script and whitespace-edge cases — the shapes the
+# 510-subtoken context budget (data/oracle.py attach logic) must count
+# correctly.
+TOKENIZER_PROBES = [
+    "The quick brown fox jumps over the lazy dog",
+    "state-of-the-art re-implementation (v2.0) -- really!",
+    "北京大学的学生在图书馆学习",
+    "mixed 中文 and English tokens, with punctuation。",
+    "Supercalifragilisticexpialidocious antidisestablishmentarianism",
+    "a",
+    "  leading and   irregular   whitespace  ",
+    "emails like user@example.com and URLs http://x.y/z?q=1",
+]
+
+
+@pytest.mark.skipif(not HAVE_TRANSFORMERS, reason="transformers not in sandbox")
+def test_xlmr_subtoken_backend_golden_counts():
+    """set_subtoken_backend('xlm-roberta-large') against recorded golden
+    counts.  First real-env run records tests/golden/xlmr_token_counts.json;
+    later runs assert exact equality, so a silent tokenizer change (vocab
+    update, normalization change) fails loudly instead of skewing the
+    510-subtoken context budget."""
+    from kb_ner_ray.functions.tokenizer import (
+        reset_subtoken_backend,
+        set_subtoken_backend,
+        subtoken_count,
+    )
+
+    golden_path = GOLDEN_DIR / "xlmr_token_counts.json"
+    try:
+        set_subtoken_backend("xlm-roberta-large")
+        counts = {probe: subtoken_count(probe) for probe in TOKENIZER_PROBES}
+    finally:
+        reset_subtoken_backend()
+
+    assert all(c > 0 for c in counts.values())
+    if not golden_path.exists():
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        golden_path.write_text(json.dumps(counts, indent=2, ensure_ascii=False))
+        pytest.skip(f"golden recorded at {golden_path}; re-run to assert")
+    golden = json.loads(golden_path.read_text())
+    assert counts == golden
+
+
+@pytest.mark.skipif(not HAVE_TRANSFORMERS, reason="transformers not in sandbox")
+def test_real_backend_drives_budget_packing():
+    """With the real tokenizer plugged in, pack_by_length must respect the
+    budget using REAL counts (the T5 seat's contract does not depend on
+    which counter backs subtoken_count)."""
+    from kb_ner_ray.functions.tokenizer import (
+        pack_by_length,
+        reset_subtoken_backend,
+        set_subtoken_backend,
+        subtoken_count,
+    )
+
+    try:
+        set_subtoken_backend("xlm-roberta-large")
+        texts = TOKENIZER_PROBES * 3
+        budget = 40
+        packs = pack_by_length(texts, budget=budget, max_items=4)
+        assert sorted(i for p in packs for i in p) == list(range(len(texts)))
+        for pack in packs:
+            cost = sum(subtoken_count(texts[i]) for i in pack)
+            # a pack may exceed budget only when it is a single item
+            assert cost <= budget or len(pack) == 1
+    finally:
+        reset_subtoken_backend()
+
+
+# ---- model-logit emissions through the codec seam (runs everywhere) ---------
+
+
+def _enumerate_best(emissions, trans, start, stop):
+    """Exhaustive optimum over all K^T tag paths — the ground truth the
+    CRF Viterbi decode (and flair's) must attain."""
+    T, K = emissions.shape
+    real = [k for k in range(K) if k not in (start, stop)]
+    best, best_score = None, -np.inf
+    for path in itertools.product(real, repeat=T):
+        score = trans[path[0], start] + emissions[0, path[0]]
+        for t in range(1, T):
+            score += trans[path[t], path[t - 1]] + emissions[t, path[t]]
+        score += trans[stop, path[-1]]
+        if score > best_score:
+            best, best_score = list(path), score
+    return best
+
+
+def _grammatical(tags: list[str]) -> bool:
+    prev = "O"
+    for tag in tags:
+        p, lab = (tag[:2], tag[2:]) if len(tag) > 1 else ("O", "")
+        if p in ("I-", "E-"):
+            if prev[:2] not in ("B-", "I-") or prev[2:] != lab:
+                return False
+        elif p in ("B-", "S-") or tag == "O":
+            if prev[:2] in ("B-", "I-"):
+                return False
+        prev = tag
+    return prev[:2] not in ("B-", "I-")
+
+
+def test_noisy_model_logits_through_codec_decode():
+    """The deployment seam: a continuous (T, K) logit matrix — what a
+    trained model emits, NOT the one-hot gazetteer emissions the in-sandbox
+    pipeline uses — fed through ViterbiCodec.decode must (a) equal the
+    exhaustive-enumeration optimum and (b) always come out grammatical,
+    even where per-token argmax is not."""
+    from kb_ner_ray.stages.tagger import ViterbiCodec
+
+    vc = ViterbiCodec(["PER", "LOC"])
+    rng = np.random.RandomState(42)
+    T, K = 5, len(vc.tags)
+    saw_ungrammatical_argmax = 0
+    for _trial in range(25):
+        em = rng.randn(T, K) * 2.0
+        em[:, vc.start] = em[:, vc.stop] = -50.0
+        tags, conf = vc.decode(em)
+        want = _enumerate_best(em, vc.trans, vc.start, vc.stop)
+        assert [vc.idx[t] for t in tags] == want
+        assert _grammatical(tags), tags
+        assert len(conf) == T and all(0.0 < c <= 1.0 for c in conf)
+        argmax_tags = [vc.tags[i] for i in em.argmax(axis=1)]
+        if not _grammatical(argmax_tags):
+            saw_ungrammatical_argmax += 1
+    # the trial set must actually exercise the repair path
+    assert saw_ungrammatical_argmax >= 5
+
+
+def test_masked_logits_match_reference_remove_x_shape():
+    """Masked (remove_x) decode on model-shaped logits: S-X padding outside
+    the mask, enumeration-optimal inside (reference
+    sequence_tagger_model.py:1198-1208)."""
+    from kb_ner_ray.functions.viterbi import viterbi_decode_masked
+    from kb_ner_ray.stages.tagger import ViterbiCodec
+
+    vc = ViterbiCodec(["X", "PER"])
+    sx = vc.idx["S-X"]
+    rng = np.random.RandomState(7)
+    T = 7
+    em = rng.randn(T, len(vc.tags)) * 2.0
+    em[:, vc.start] = em[:, vc.stop] = -50.0
+    mask = np.array([False, False, True, True, True, False, False])
+    conf, path = viterbi_decode_masked(em, vc.trans, vc.start, vc.stop,
+                                       mask, sx)
+    assert path[:2] == [sx, sx] and path[5:] == [sx, sx]
+    assert conf[:2] == [1.0, 1.0] and conf[5:] == [1.0, 1.0]
+    want = _enumerate_best(em[mask], vc.trans, vc.start, vc.stop)
+    assert path[2:5] == want
+
+
+def test_cross_encoder_scorer_seam_accepts_custom_callable():
+    """The reranker's cross-encoder seam (stages/reranker.py __init__,
+    ``scorer(query, [cands]) -> [scores]``) must accept an injected
+    batched scorer the way a GPU deployment plugs in a cross-encoder
+    forward, and rank strictly by its scores."""
+    import pyarrow as pa
+
+    from kb_ner_ray.stages.reranker import RerankedRetriever
+
+    kb = [
+        {"kb_id": 1, "sentence": "alpha beta", "title": "t1", "lang": "en"},
+        {"kb_id": 2, "sentence": "alpha beta gamma delta epsilon",
+         "title": "t2", "lang": "en"},
+        {"kb_id": 3, "sentence": "alpha", "title": "t3", "lang": "en"},
+    ]
+    calls = []
+
+    def scorer(query: str, cands: list[str]) -> list[float]:
+        calls.append((query, list(cands)))
+        return [float(len(c)) for c in cands]  # longest candidate wins
+
+    rr = RerankedRetriever(kb, k=3, fetch_k=3, scorer=scorer)
+    out = rr(pa.table({"url": pa.array(["u"], pa.string()),
+                       "sent_id": pa.array([0], pa.int32()),
+                       "text": pa.array(["alpha beta gamma"], pa.string()),
+                       })).to_pylist()
+    assert calls and calls[0][0] == "alpha beta gamma"
+    assert out[0]["rank"] == 0 and out[0]["kb_id"] == 2  # longest sentence
+    scores = [r["rerank_score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
