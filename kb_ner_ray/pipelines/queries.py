@@ -1638,6 +1638,75 @@ WHERE jaccard(a.text, b.text) >= {JACCARD_THRESHOLD}
 """
 
 
+def q_ngram_jaccard_components(sf_dir: str):
+    """Distributed connected components over the exact-oracled
+    charset-Jaccard pairs (stages/components.py hash-min propagation) —
+    the dedup-apply CLUSTER step, exact-oracled via a DuckDB recursive
+    CTE transitive closure."""
+    from ..stages.components import components_from_pairs
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD)
+    df = components_from_pairs(pairs).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "component": pd.Series([], dtype=np.int64)})
+    return (df[["node", "component"]].astype(np.int64)
+            .sort_values("node").reset_index(drop=True))
+
+
+def q_near_dup_keep(sf_dir: str):
+    """Dedup-APPLY: documents surviving near-dup removal (keep the
+    minimum-id member of every charset-Jaccard component, pass
+    non-members through).  The full pair->cluster->anti-join chain,
+    exact-oracled."""
+    from ..stages.components import near_dup_keep
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    df = near_dup_keep(docs, pairs).to_pandas()
+    return (df[["doc_id"]].astype(np.int64)
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_SQL_JACCARD_EDGES = f"""
+  WITH d AS (
+    SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents),
+  p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM d a JOIN d b ON a.n_tokens = b.n_tokens AND a.doc_id < b.doc_id
+    WHERE jaccard(a.text, b.text) >= {JACCARD_THRESHOLD}),
+  edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM p
+    UNION SELECT doc_b, doc_a FROM p),
+  reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+  comp AS (
+    SELECT node, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY node)
+"""
+
+SQL_NGRAM_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_JACCARD_EDGES.strip().removeprefix("WITH ")}
+SELECT CAST(node AS BIGINT) AS node, component FROM comp
+"""
+
+SQL_NEAR_DUP_KEEP = f"""
+WITH RECURSIVE {_SQL_JACCARD_EDGES.strip().removeprefix("WITH ")}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
 # ---------- KG pipeline entries ----------------------------------------------
 
 
@@ -2181,8 +2250,6 @@ def queries_registry():
         "doc_splits": q_doc_splits,
         "kg_span_metric": q_kg_span_metric,
         "multimodal_image_features": q_multimodal_image_features,
-        "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_video_frames": q_multimodal_video_frames,
         # -- every remaining exact-oracled query (inside the window) ------
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -2219,7 +2286,13 @@ def queries_registry():
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
-        # -- past the 50-entry window: rows-only + plan-parity variants ---
+        "ngram_jaccard_components": q_ngram_jaccard_components,
+        "near_dup_keep": q_near_dup_keep,
+        # -- past the 50-entry window: rows-only + plan-parity variants
+        # (audio/video multimodal share the image entry's stub pattern;
+        # the image representative keeps a driver row in the window) -----
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2285,6 +2358,8 @@ def oracle_registry():
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ngram_jaccard_components": SQL_NGRAM_COMPONENTS,
+        "near_dup_keep": SQL_NEAR_DUP_KEEP,
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,

@@ -1,0 +1,280 @@
+"""Distributed connected components over candidate-pair edges + the
+dedup-apply step (near-dup CLUSTERS -> keep one canonical doc).
+
+The pair generators (minhash/simhash/charset-Jaccard/embedding LSH) emit
+verified near-dup EDGES; a real dedup pipeline must then (1) close the
+edges into clusters and (2) drop every non-canonical member.  The
+reference's paragraph dedup only needs exact-hash grouping (the seen-set
+in kb/process_wiki.py), but at 100 TB near-dup dedup is cluster-shaped:
+A~B and B~C must collapse to ONE survivor even when A~C was never
+emitted.
+
+TWO plans, auto-selected on measured edge bytes (the repo's standard
+broadcast-vs-bucketed gate):
+
+* driver union-find (path halving) when the verified-pair set fits on
+  the driver — near-dup edge sets are a small fraction of the corpus,
+  and per-round Ray shuffle fixed costs dwarf O(E a(E)) sequential work
+  below hundreds of MB of edges;
+* distributed hash-min label propagation (the standard MapReduce
+  connected components; cf. Rastogi et al. 2013, "Finding Connected
+  Components in Map-Reduce in Logarithmic Rounds" — the simple variant,
+  converging in graph-diameter rounds) when they don't.  Near-dup
+  graphs are LSH cliques minus dropped edges, so the diameter is tiny
+  (2-4); ``max_rounds`` guards pathological chains and RAISES rather
+  than returning a partially converged labelling (which would silently
+  keep duplicates).
+
+Scale shape per round: TWO bucketed shuffles (labels->edge-sources to
+emit neighbour candidates; candidates+old labels->per-node min), both on
+``hash(node) % default_buckets()`` with vectorized in-bucket pandas
+merges; the label frontier is materialized each round (2 int64 columns
+over dup-candidate NODES only — the corpus itself never enters the
+loop).  Convergence is detected from a ``changed`` flag computed inside
+the min-reduce — no extra diff join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .partitioning import bucket_array, default_buckets
+
+
+# Auto-selection gate, same philosophy as queries.BROADCAST_MAX_BYTES: an
+# edge set whose MATERIALIZED bytes fit comfortably on the driver closes
+# faster under sequential union-find (O(E a(E)), no per-round shuffle
+# fixed costs) than under the distributed loop; beyond it, the hash-min
+# loop is the only plan whose per-worker memory does not grow with the
+# edge count.  Parity of the two plans is pinned by pytest on planted
+# chain/clique/isolated graphs.
+DRIVER_CC_MAX_BYTES = 256 << 20
+
+
+def _union_find_components(pdf: pd.DataFrame, a_col: str,
+                           b_col: str) -> pd.DataFrame:
+    """Driver-side union-find with path halving; component = min node id
+    of the set (matches the distributed hash-min labelling exactly)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf[a_col].to_numpy(np.int64),
+                    pdf[b_col].to_numpy(np.int64)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min keeps roots canonical-ish; exact min is
+            # computed in the relabel pass below either way
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comp: dict[int, int] = {}
+    for node in list(parent):
+        r = find(node)
+        comp[r] = min(comp.get(r, node), node)
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    labels = np.fromiter((comp[find(int(n))] for n in nodes),
+                         dtype=np.int64, count=len(nodes))
+    order = np.argsort(nodes)
+    return pd.DataFrame({"node": nodes[order], "component": labels[order]})
+
+
+def components_from_pairs(pairs_ds, a_col: str = "doc_a",
+                          b_col: str = "doc_b",
+                          n_buckets: int | None = None,
+                          max_rounds: int = 20,
+                          driver_max_bytes: int | None = None):
+    """Dataset(a_col, b_col, ...) undirected edges -> Dataset(node,
+    component) where ``component`` is the smallest node id reachable.
+
+    Plan auto-selection on measured edge bytes (``driver_max_bytes``,
+    default DRIVER_CC_MAX_BYTES; pass 0 to force the distributed loop):
+    small edge sets close on the driver via union-find, large ones run
+    the distributed hash-min loop.  Raises ``RuntimeError`` if the loop
+    has not converged within ``max_rounds``.
+    """
+    import ray.data as rd
+
+    nb = n_buckets or default_buckets()
+    # Pairs feed two branches (edges + initial labels); materialize so an
+    # expensive upstream generator (LSH verify) runs ONCE.  Bounded:
+    # verified pairs only, never the corpus.
+    pairs_ds = pairs_ds.select_columns([a_col, b_col]).materialize()
+    gate = (DRIVER_CC_MAX_BYTES if driver_max_bytes is None
+            else driver_max_bytes)
+    if (pairs_ds.size_bytes() or 0) <= gate:
+        comp = _union_find_components(pairs_ds.to_pandas(), a_col, b_col)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(comp["node"].to_numpy(np.int64), pa.int64()),
+            "component": pa.array(comp["component"].to_numpy(np.int64),
+                                  pa.int64()),
+        }))
+
+    # Edges in both orientations, bucketed by src: static for all rounds.
+    def orient(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(t[b_col].to_numpy(zero_copy_only=False), np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "__b": pa.array(bucket_array(src, nb), pa.int32()),
+        })
+
+    # Initial labels: every endpoint labelled with itself (per-batch
+    # unique; cross-batch dedup happens in the first min-reduce).
+    def init(t: pa.Table) -> pa.Table:
+        nodes = np.unique(np.concatenate([
+            np.asarray(t[a_col].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(t[b_col].to_numpy(zero_copy_only=False), np.int64)]))
+        return pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array(nodes, pa.int64()),
+            "__b": pa.array(bucket_array(nodes, nb), pa.int32()),
+        })
+
+    def dedup_init(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates("node")
+        return out[["node", "label", "__b"]].astype(
+            {"node": np.int64, "label": np.int64, "__b": np.int32})
+
+    # Labels ride the msgs union as (src=node, dst=-1) sentinel rows so
+    # one bucketed shuffle co-locates them with the edges keyed on src.
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["node"],
+            "dst": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "__b": t["__b"],
+            "label": t["label"],
+        })
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "label", pa.array(np.zeros(t.num_rows, np.int64), pa.int64()))
+
+    def emit_candidates(g: pd.DataFrame) -> pa.Table:
+        """One src-bucket: map src -> label, emit (node=dst, cand).
+        Returns ARROW (this stream unions with the Arrow tag_old blocks;
+        Ray refuses mixed block types in a union)."""
+        lab = g[g["dst"] == -1][["src", "label"]]
+        edg = g[g["dst"] != -1][["src", "dst"]]
+        m = edg.merge(lab, on="src", how="inner")
+        node = m["dst"].to_numpy(np.int64)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "label": pa.array(m["label"].to_numpy(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(m), np.int8)),
+            "__b": pa.array(bucket_array(node, nb), pa.int32()),
+        })
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "label": t["label"],
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+            "__b": t["__b"],
+        })
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("node", as_index=False)["label"].min()
+        old = g[g["kind"] == 0][["node", "label"]].rename(
+            columns={"label": "old"})
+        m = new.merge(old, on="node", how="left")
+        # every node got an old label at init; guard the degenerate case
+        m["old"] = m["old"].fillna(m["label"])
+        lab = m["label"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "node": m["node"].to_numpy(np.int64),
+            "label": lab,
+            "changed": (lab < m["old"].to_numpy(np.int64)).astype(np.int64),
+            "__b": np.full(len(m), int(g["__b"].iloc[0]), np.int32),
+        })
+
+    edges = (pairs_ds.map_batches(orient, batch_format="pyarrow")
+             .map_batches(tag_edges, batch_format="pyarrow")
+             .materialize())
+    labels = (pairs_ds.map_batches(init, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(dedup_init, batch_format="pandas")
+              .materialize())
+
+    for _round in range(max_rounds):
+        msgs = (edges.union(labels.map_batches(tag_labels,
+                                               batch_format="pyarrow"))
+                .groupby("__b")
+                .map_groups(emit_candidates, batch_format="pandas"))
+        reduced = (msgs.union(labels.map_batches(tag_old,
+                                                 batch_format="pyarrow"))
+                   .groupby("__b")
+                   .map_groups(min_reduce, batch_format="pandas")
+                   .materialize())
+        changed = int(reduced.sum("changed") or 0)
+        labels = reduced.drop_columns(["changed"]).materialize()
+        if changed == 0:
+            return labels.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "component": t["label"]}),
+                batch_format="pyarrow")
+    raise RuntimeError(
+        f"components_from_pairs: not converged after {max_rounds} rounds "
+        "(graph diameter exceeds the bound - raise max_rounds)")
+
+
+def near_dup_keep(docs_ds, pairs_ds, id_col: str = "doc_id",
+                  a_col: str = "doc_a", b_col: str = "doc_b",
+                  n_buckets: int | None = None):
+    """Dedup-apply: drop every doc that belongs to a near-dup component
+    and is not its canonical (minimum-id) member; non-members pass
+    through untouched.  One bucketed anti-join of the docs against the
+    drop-set (component members with node != component) — exact: a Bloom
+    prefilter is unsound for ANTI semantics (joins.py)."""
+    nb = n_buckets or default_buckets()
+    comps = components_from_pairs(pairs_ds, a_col=a_col, b_col=b_col,
+                                  n_buckets=nb)
+
+    schema = docs_ds.schema()
+    doc_cols = list(schema.names)
+    doc_types = dict(zip(schema.names, schema.types))
+
+    def drops(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"].to_numpy(zero_copy_only=False), np.int64)
+        comp = np.asarray(t["component"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        d = node[node != comp]
+        n = len(d)
+        arrays, names = [], []
+        for c in doc_cols:
+            names.append(c)
+            arrays.append(pa.array(d, pa.int64()) if c == id_col
+                          else pa.nulls(n, doc_types[c]))
+        names += ["__side", "__b"]
+        arrays += [pa.array(["R"] * n, pa.string()),
+                   pa.array(bucket_array(d, nb), pa.int32())]
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def widen_docs(t: pa.Table) -> pa.Table:
+        arrays = [t[c] for c in doc_cols]
+        names = list(doc_cols) + ["__side", "__b"]
+        arrays += [pa.array(["L"] * t.num_rows, pa.string()),
+                   pa.array(bucket_array(t[id_col], nb), pa.int32())]
+        return pa.Table.from_arrays(arrays, names=names)
+
+    tagged = (docs_ds.map_batches(widen_docs, batch_format="pyarrow")
+              .union(comps.map_batches(drops, batch_format="pyarrow")))
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"]
+        dropped = g.loc[g["__side"] == "R", id_col].unique()
+        out = lg.loc[~lg[id_col].isin(dropped), doc_cols].copy()
+        out[id_col] = out[id_col].astype(np.int64)
+        return out
+
+    return tagged.groupby("__b").map_groups(filter_bucket,
+                                            batch_format="pandas")

@@ -1,0 +1,90 @@
+"""Connected components + dedup-apply (stages/components.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from kb_ner_ray.stages.components import (
+    components_from_pairs,
+    near_dup_keep,
+)
+
+
+def _pairs_ds(edges):
+    a, b = zip(*edges)
+    return ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64()),
+    }))
+
+
+# chain (diameter 4), clique, isolated pair — the planted ground truth
+EDGES = [(0, 1), (1, 2), (2, 3), (3, 4),
+         (10, 11), (10, 12), (10, 13), (11, 12),
+         (20, 21)]
+WANT = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20}
+
+
+def test_components_driver_plan(ray_session):
+    got = components_from_pairs(_pairs_ds(EDGES)).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == WANT
+
+
+def test_components_distributed_plan_parity(ray_session):
+    """driver_max_bytes=0 forces the hash-min loop; identical labelling
+    to the union-find plan, incl. the diameter-4 chain."""
+    got = components_from_pairs(_pairs_ds(EDGES), driver_max_bytes=0,
+                                n_buckets=4).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == WANT
+
+
+def test_components_unconverged_raises(ray_session):
+    """A partially-converged labelling must never be returned silently."""
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        components_from_pairs(_pairs_ds(chain), driver_max_bytes=0,
+                              n_buckets=4, max_rounds=2)
+
+
+def test_components_randomized_parity(ray_session):
+    """Random sparse graph: the union-find plan == a reference BFS
+    closure (the distributed plan's parity with union-find is pinned by
+    the planted-graph test above; running the loop here too would only
+    re-pay ~10 shuffle fixed-costs)."""
+    rng = np.random.RandomState(13)
+    edges = [(int(a), int(b))
+             for a, b in rng.randint(0, 60, size=(80, 2)) if a != b]
+    # reference: BFS from every node over an adjacency map
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in adj:
+        seen, stack = {start}, [start]
+        while stack:
+            for nxt in adj[stack.pop()]:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        want[start] = min(seen)
+    driver = components_from_pairs(_pairs_ds(edges)).to_pandas()
+    assert dict(zip(driver["node"], driver["component"])) == want
+
+
+def test_near_dup_keep_planted(ray_session):
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(10)], pa.string()),
+    }))
+    pairs = _pairs_ds([(1, 2), (2, 3), (5, 6)])
+    kept = (near_dup_keep(docs, pairs, n_buckets=4).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    # components {1,2,3} -> keep 1, {5,6} -> keep 5; others untouched
+    assert kept["doc_id"].tolist() == [0, 1, 4, 5, 7, 8, 9]
+    assert list(kept.columns) == ["doc_id", "text"]
+    assert kept.loc[kept["doc_id"] == 5, "text"].iloc[0] == "doc 5"
