@@ -1746,6 +1746,21 @@ def q_kg_sentences(sf_dir: str):
     return sentences_dataset(_corpus(sf_dir), with_retrieval=False)
 
 
+def q_kg_doc_context(sf_dir: str):
+    """FLERT-style document-context attach (reference
+    add_document_embeddings_v2, flair/embeddings.py:3657): every kg
+    sentence + its left/right document context under the 510-subtoken
+    budget.  Rows-only (the budget arithmetic over the subtoken cost
+    model is not SQL-expressible); semantics pinned by
+    tests/test_doccontext.py against a brute-force reference."""
+    from ..pipelines.kg import sentences_dataset
+    from ..stages.doccontext import attach_document_context
+
+    return attach_document_context(
+        sentences_dataset(_corpus(sf_dir), with_retrieval=False),
+        pre_grouped=False)
+
+
 def q_kg_contexts(sf_dir: str):
     from ..pipelines.kg import load_corpus_refs, sentences_dataset
     from ..stages.retriever import retrieve_contexts
@@ -2293,6 +2308,7 @@ def queries_registry():
         # the image representative keeps a driver row in the window) -----
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "kg_doc_context": q_kg_doc_context,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
