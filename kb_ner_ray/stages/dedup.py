@@ -95,6 +95,18 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
     Returns a Dataset with columns (doc_a, doc_b, *pair_schema).
     """
     pair_names = list(pair_schema)
+    # explicit Arrow schema for the unified pass-1 output: object-dtype
+    # pandas columns (bkey/payload bytes) trip Ray's block-size estimator
+    # on empty slices ("cannot call `vectorize` on size 0 inputs"), so
+    # pass-1 emits typed Arrow blocks instead.
+    unified_schema = pa.schema([
+        ("kind", pa.int8()), ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        *[(c, pa.from_numpy_dtype(dt)) for c, dt in pair_schema.items()],
+        ("band_id", pa.int32()), ("bkey", pa.string()),
+        ("doc_id", pa.int64()),
+        *[(c, pa.binary()) for c in payload_cols],
+        ("ovf_s", pa.int32()),
+    ])
 
     def _unified(pairs: pd.DataFrame | None, members: pd.DataFrame | None,
                  S: int = 0) -> pd.DataFrame:
@@ -123,7 +135,7 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
         out["ovf_s"] = np.full(n, S, dtype=np.int32)
         return pd.DataFrame(out)
 
-    def pass1(group: pd.DataFrame) -> pd.DataFrame:
+    def pass1(group: pd.DataFrame) -> pa.Table:
         outs = [_unified(None, None)]
         sizes = group.groupby(key_col)["doc_id"].transform("size")
         for _bk, grp in group[sizes >= 2].groupby(key_col, sort=False):
@@ -139,25 +151,36 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
                           "redistributed over %d triangle cells (no pairs "
                           "dropped)", len(grp), S * (S + 1) // 2)
                 outs.append(_unified(None, grp, S=S))
-        return pd.concat(outs, ignore_index=True)
+        df = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(df, schema=unified_schema,
+                                    preserve_index=False)
 
     out1 = (rows_ds.groupby("band_grp")
             .map_groups(pass1, batch_format="pandas")
             .materialize())  # bounded: pairs + hot-bucket member rows
 
-    def take_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["kind"] == 0][["doc_a", "doc_b", *pair_names]]
+    import pyarrow.compute as pc
 
-    pairs = out1.map_batches(take_pairs, batch_format="pandas")
+    pairs = out1.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+            ["doc_a", "doc_b", *pair_names]),
+        batch_format="pyarrow")
 
     ovf = out1.map_batches(
-        lambda df: df[df["kind"] == 1][
-            ["band_id", "bkey", "doc_id", *payload_cols, "ovf_s"]],
-        batch_format="pandas").materialize()
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(
+            ["band_id", "bkey", "doc_id", *payload_cols, "ovf_s"]),
+        batch_format="pyarrow").materialize()
     if ovf.count() == 0:
         return pairs
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
+    expand_schema = pa.schema([
+        ("tri_grp", pa.int64()), ("band_id", pa.int32()),
+        ("bkey", pa.string()), ("gi", pa.int32()), ("gj", pa.int32()),
+        ("part", pa.int32()), ("doc_id", pa.int64()),
+        *[(c, pa.binary()) for c in payload_cols],
+    ])
+
+    def expand(df: pd.DataFrame) -> pa.Table:
         rows = []
         for _, r in df.iterrows():
             S = int(r["ovf_s"])
@@ -174,9 +197,8 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
         cols = ["tri_grp", "band_id", "bkey", "gi", "gj", "part", "doc_id",
                 *payload_cols]
         out = pd.DataFrame(rows, columns=cols)
-        return out.astype({"tri_grp": np.int64, "band_id": np.int32,
-                           "gi": np.int32, "gj": np.int32,
-                           "part": np.int32, "doc_id": np.int64})
+        return pa.Table.from_pandas(out, schema=expand_schema,
+                                    preserve_index=False)
 
     def pass2(group: pd.DataFrame) -> pd.DataFrame:
         outs = [pd.DataFrame({"doc_a": np.array([], np.int64),
@@ -393,8 +415,9 @@ def _minhash_pair_fn(threshold: float):
 
     def _unpack(grp):
         ids = grp["doc_id"].to_numpy(np.int64)
-        msigs = [np.frombuffer(m, dtype=np.int64).reshape(
-            N_BANDS, ROWS_PER_BAND) for m in grp["msig"]]
+        # all minhash sigs are fixed-width -> one [n, N_BANDS, ROWS] cube
+        msigs = np.frombuffer(b"".join(grp["msig"]), dtype=np.int64).reshape(
+            len(ids), N_BANDS, ROWS_PER_BAND)
         sigs = [np.frombuffer(s, dtype=np.int64) for s in grp["sh"]]
         return ids, msigs, sigs
 
@@ -408,12 +431,14 @@ def _minhash_pair_fn(threshold: float):
             ids_b, msigs_b, sigs_b = _unpack(right)
             pi = np.repeat(np.arange(len(ids_a)), len(ids_b))
             pj = np.tile(np.arange(len(ids_b)), len(ids_a))
+        # vectorized first-colliding-band screen over ALL candidate pairs
+        # ([npairs, N_BANDS]); the per-pair exact-jaccard intersect below
+        # then runs only on pairs this band owns.
+        band_eq = (msigs_a[pi] == msigs_b[pj]).all(axis=2)
+        first = np.where(band_eq.any(axis=1), band_eq.argmax(axis=1), band_id)
+        keep = np.flatnonzero(first == band_id)
         rows = []
-        for i, j in zip(pi, pj):
-            collide = (msigs_a[i] == msigs_b[j]).all(axis=1)
-            first = int(np.argmax(collide)) if collide.any() else band_id
-            if first != band_id:
-                continue  # an earlier band emits this pair
+        for i, j in zip(pi[keep], pj[keep]):
             inter = len(np.intersect1d(sigs_a[i], sigs_b[j],
                                        assume_unique=True))
             denom = len(sigs_a[i]) + len(sigs_b[j]) - inter
@@ -518,20 +543,24 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.8):
 # ---- SimHash ----------------------------------------------------------------
 
 
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (deterministic blake2b word hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in set(text.split()):
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
-        bits = (np.right_shift(h, shifts) & np.uint64(1)).astype(np.int64)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over word unigrams (deterministic blake2b word
+    hashes); one [n_words, 64] vectorized bit-vote instead of per-word
+    64-element numpy ops."""
+    ws = set(text.split())
+    if not ws:
+        return 0
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                        "big") for w in ws),
+        dtype=np.uint64, count=len(ws))
+    bits = ((hs[:, None] >> _SHIFTS64) & np.uint64(1)).astype(np.int32)
+    acc = 2 * bits.sum(axis=0) - len(ws)        # (+1 per set bit, -1 else)
+    return int.from_bytes(
+        np.packbits(acc > 0, bitorder="little").tobytes(), "little")
 
 
 def simhash_bands(batch: pa.Table) -> pa.Table:
@@ -560,40 +589,55 @@ def simhash_bands(batch: pa.Table) -> pa.Table:
     )
 
 
+# 16-bit popcount lookup (numpy 1.26 has no bitwise_count); 64 KiB, built
+# once per process.
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via four 16-bit LUT probes."""
+    out = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for shift in (16, 32, 48):
+        out += _POP16[((x >> np.uint64(shift))
+                       & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
 def _simhash_pair_fn(max_dist: int):
     """pair_fn for banded_pairs_overflow: Hamming-verified pairs, emitted
     only from the pair's first colliding band (computable locally from
-    the two simhash values riding the shuffle)."""
+    the two simhash values riding the shuffle).  Fully vectorized — a
+    triangle-redistributed hot bucket means ~max_group^2 candidate pairs
+    per reducer call, so per-pair Python work is the kernel's wall-time."""
+
+    def _unpack(grp: pd.DataFrame):
+        ids = grp["doc_id"].to_numpy(np.int64)
+        raw = b"".join(grp["simhash"])
+        return ids, np.frombuffer(raw, dtype=">u8").astype(np.uint64)
 
     def fn(left: pd.DataFrame, right: pd.DataFrame | None) -> pd.DataFrame:
         band_id = int(left["band_id"].iloc[0])
-        ids_a = left["doc_id"].to_numpy(np.int64)
-        hs_a = [int.from_bytes(v, "big") for v in left["simhash"]]
+        ids_a, hs_a = _unpack(left)
         if right is None:
             ids_b, hs_b = ids_a, hs_a
             pi, pj = np.triu_indices(len(ids_a), k=1)
         else:
-            ids_b = right["doc_id"].to_numpy(np.int64)
-            hs_b = [int.from_bytes(v, "big") for v in right["simhash"]]
+            ids_b, hs_b = _unpack(right)
             pi = np.repeat(np.arange(len(ids_a)), len(ids_b))
             pj = np.tile(np.arange(len(ids_b)), len(ids_a))
-        a, b, d = [], [], []
-        for i, j in zip(pi, pj):
-            x, y = hs_a[i], hs_b[j]
-            first = next((bnd for bnd in range(4)
-                          if ((x >> (bnd * 16)) & 0xFFFF)
-                          == ((y >> (bnd * 16)) & 0xFFFF)), band_id)
-            if first != band_id:
-                continue  # an earlier band emits this pair
-            dist = int(bin(x ^ y).count("1"))
-            if dist <= max_dist:
-                lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
-                a.append(lo)
-                b.append(hi)
-                d.append(dist)
-        return pd.DataFrame({"doc_a": np.array(a, dtype=np.int64),
-                             "doc_b": np.array(b, dtype=np.int64),
-                             "hamming": np.array(d, dtype=np.int64)})
+        x, y = hs_a[pi], hs_b[pj]
+        band_eq = np.stack([
+            ((x >> np.uint64(bnd * 16)) & np.uint64(0xFFFF))
+            == ((y >> np.uint64(bnd * 16)) & np.uint64(0xFFFF))
+            for bnd in range(4)])                       # [4, npairs]
+        first = np.where(band_eq.any(axis=0), band_eq.argmax(axis=0), band_id)
+        keep = first == band_id                         # earlier band emits
+        dist = _popcount64(x[keep] ^ y[keep])
+        ok = dist <= max_dist
+        ia, ib = ids_a[pi[keep][ok]], ids_b[pj[keep][ok]]
+        return pd.DataFrame({"doc_a": np.minimum(ia, ib),
+                             "doc_b": np.maximum(ia, ib),
+                             "hamming": dist[ok]})
 
     return fn
 

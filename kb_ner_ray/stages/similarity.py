@@ -321,22 +321,18 @@ def _lsh_pair_fn(threshold: float):
         sims = m_a @ m_b.T
         keys_a = _sign_bands(m_a)
         keys_b = keys_a if right is None else _sign_bands(m_b)
-        a_out, b_out, s_out = [], [], []
-        for i, j in zip(pi, pj):
-            if sims[i, j] < threshold:
-                continue
-            collide = keys_a[i] == keys_b[j]
-            first = int(np.argmax(collide)) if collide.any() else band_id
-            if first != band_id:
-                continue
-            lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
-            a_out.append(lo)
-            b_out.append(hi)
-            s_out.append(sims[i, j])
+        # vectorized: threshold filter, then first-colliding-band ownership
+        ok = sims[pi, pj] >= threshold
+        pi, pj = pi[ok], pj[ok]
+        band_eq = keys_a[pi] == keys_b[pj]          # [npairs, LSH_BANDS]
+        first = np.where(band_eq.any(axis=1), band_eq.argmax(axis=1), band_id)
+        keep = first == band_id
+        ia, ib = ids_a[pi[keep]], ids_b[pj[keep]]
         # explicit dtypes: empty object frames trip Ray's size estimator
-        return pd.DataFrame({"doc_a": np.array(a_out, dtype=np.int64),
-                             "doc_b": np.array(b_out, dtype=np.int64),
-                             "sim": np.array(s_out, dtype=np.float64)})
+        return pd.DataFrame({"doc_a": np.minimum(ia, ib).astype(np.int64),
+                             "doc_b": np.maximum(ia, ib).astype(np.int64),
+                             "sim": sims[pi[keep], pj[keep]].astype(
+                                 np.float64)})
 
     return fn
 
