@@ -2200,6 +2200,33 @@ FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
 """
 
 
+def q_source_stats_salted(sf_dir: str):
+    """Per-source doc count + char sum via the SALTED two-phase groupby
+    (stages/skew.py — the north rule's hot-domain skew seat, now under
+    the driver's exact-oracle gate; parity with a plain groupby under a
+    50%-hot key is separately pinned by test_new_ops)."""
+    from ..stages.skew import salted_grouped_sum
+
+    out = salted_grouped_sum(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        key="source", value="n_chars", n_salts=16)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"],
+                         "sum_chars": pc.cast(t["sum"], pa.int64()),
+                         "n_docs": pc.cast(t["n_rows"], pa.int64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_SOURCE_STATS = """
+SELECT source,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(*) AS BIGINT)     AS n_docs
+FROM documents GROUP BY source
+"""
+
+
 def q_heavy_hitters_events(sf_dir: str):
     """Misra-Gries top-10 heavy hitters over event_type (mergeable-summary
     combiner; rows-only — MG estimates are lower bounds, pinned exactly by
@@ -2263,7 +2290,6 @@ def queries_registry():
         "kg_augment_conll": q_kg_augment_conll,
         "corpus_prep": q_corpus_prep,
         "doc_splits": q_doc_splits,
-        "kg_span_metric": q_kg_span_metric,
         "multimodal_image_features": q_multimodal_image_features,
         # -- every remaining exact-oracled query (inside the window) ------
         "pricing_summary": q_pricing_summary,
@@ -2303,12 +2329,16 @@ def queries_registry():
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_components": q_ngram_jaccard_components,
         "near_dup_keep": q_near_dup_keep,
+        "source_stats_salted": q_source_stats_salted,
         # -- past the 50-entry window: rows-only + plan-parity variants
         # (audio/video multimodal share the image entry's stub pattern;
         # the image representative keeps a driver row in the window) -----
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "kg_doc_context": q_kg_doc_context,
+        "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
+        # pinned exactly by test_new_ops — demoted for the salted-groupby
+        # exact query (round 3)
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2376,6 +2406,7 @@ def oracle_registry():
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ngram_jaccard_components": SQL_NGRAM_COMPONENTS,
         "near_dup_keep": SQL_NEAR_DUP_KEEP,
+        "source_stats_salted": SQL_SOURCE_STATS,
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,

@@ -21,7 +21,8 @@ import pyarrow.compute as pc
 
 
 def salted_grouped_sum(ds, key: str, value: str, n_salts: int = 16):
-    """Dataset -> Dataset(key, sum) via salt -> partial -> unsalt -> final.
+    """Dataset -> Dataset(key, sum, n_rows) via salt -> partial -> unsalt
+    -> final.
 
     Both exchanges use coarse fixed-width keys: phase 1 groups on
     (salt) x hash-bucketed key inside per-batch combiners, so no reducer
@@ -32,11 +33,8 @@ def salted_grouped_sum(ds, key: str, value: str, n_salts: int = 16):
         n = t.num_rows
         salt = pa.array([i % n_salts for i in range(n)], pa.int32())
         return (pa.table({key: t[key], "__salt": salt, value: t[value]})
-                .group_by([key, "__salt"]).aggregate([(value, "sum")]))
-
-    def unsalt(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key, as_index=False)[f"{value}_sum"].sum()
-        return out.rename(columns={f"{value}_sum": "sum"})
+                .group_by([key, "__salt"])
+                .aggregate([(value, "sum"), (value, "count")]))
 
     from .partitioning import bucket_array, default_buckets
 
@@ -46,14 +44,17 @@ def salted_grouped_sum(ds, key: str, value: str, n_salts: int = 16):
         return t.append_column(
             "__kb", pa.array(bucket_array(t[key], n_kb), pa.int32()))
 
+    def unsalt(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False).agg(
+            **{"sum": (f"{value}_sum", "sum"),
+               "n_rows": (f"{value}_count", "sum")})
+
     partials = (ds.map_batches(partial, batch_format="pyarrow")
                 .map_batches(bucket, batch_format="pyarrow"))
     # ONE second exchange on the coarse key-hash bucket (keys of one
     # bucket co-locate; the salt dimension collapses vectorized inside)
     return (partials.groupby("__kb")
-            .map_groups(lambda g: g.groupby(key, as_index=False)
-                        .agg(**{"sum": (f"{value}_sum", "sum")}),
-                        batch_format="pandas"))
+            .map_groups(unsalt, batch_format="pandas"))
 
 
 def hot_key_fractions(ds, key: str, top: int = 5) -> pd.DataFrame:

@@ -315,8 +315,8 @@ def test_salted_grouped_sum_hot_key(ray_session):
            .to_pandas().sort_values("domain").reset_index(drop=True))
     import pandas as pd
 
-    want = (t.to_pandas().groupby("domain", as_index=False)["v"].sum()
-            .rename(columns={"v": "sum"})
+    want = (t.to_pandas().groupby("domain", as_index=False)
+            .agg(sum=("v", "sum"), n_rows=("v", "size"))
             .sort_values("domain").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
