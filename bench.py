@@ -91,9 +91,10 @@ def run_bench() -> dict:
     headline = time.time() - t0
     timings["kg_triples"] = round(headline, 3)
 
+    rows: dict[str, int] = {}
     for name in SIDE_QUERIES:
         t0 = time.time()
-        _consume(reg[name](SF_DIR))
+        rows[name] = _consume(reg[name](SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
     ray.shutdown()
@@ -102,6 +103,10 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": timings,
+        # row counts make work-volume changes visible across rounds (e.g.
+        # round-3 simhash examines the hot buckets round 2 truncated, so
+        # its pair count AND wall time both rose)
+        "query_rows": rows,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_triples": n_triples,
