@@ -2104,6 +2104,19 @@ def q_doc_repeated_ngrams(sf_dir: str):
     return df
 
 
+def q_doc_passage_dedup(sf_dir: str):
+    """ExactSubstr APPLY (Lee et al. 2022): rewrite the corpus with every
+    non-canonical occurrence of a cross-doc repeated 10-gram cut out
+    (globally-first occurrence survives).  Two fixed-width-key shuffles;
+    text travels once.  Rows-only; rewrite semantics pinned by the
+    planted-passage apply test (tests/test_ops.py)."""
+    from ..stages.dedup import remove_repeated_passages
+
+    return remove_repeated_passages(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=10, min_docs=2)
+
+
 def q_approx_quantiles_value(sf_dir: str):
     """Mergeable ε-approximate quantiles over events.value (equi-depth
     grid partials -> driver weighted merge).  Rows-only: rank error is
@@ -2348,6 +2361,7 @@ def queries_registry():
         "approx_quantiles_value": q_approx_quantiles_value,
         "doc_langid": q_doc_langid,
         "doc_repeated_ngrams": q_doc_repeated_ngrams,
+        "doc_passage_dedup": q_doc_passage_dedup,
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_contexts_reranked": q_kg_contexts_reranked,
         "kg_distant_supervision": q_kg_distant_supervision,

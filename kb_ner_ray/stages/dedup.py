@@ -858,3 +858,130 @@ def repeated_ngrams(docs_ds, n: int = 10, min_docs: int = 2):
     return (docs_ds.map_batches(gram_rows, batch_format="pyarrow")
             .groupby("__gb")
             .map_groups(hot_grams, batch_format="pandas"))
+
+
+def remove_repeated_passages(docs_ds, n: int = 10, min_docs: int = 2,
+                             n_buckets: int | None = None):
+    """The APPLY step of exact-substring dedup (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): cut every non-canonical occurrence of a cross-document
+    repeated word n-gram out of the corpus, keeping the globally-first
+    (lexicographic min (doc_id, pos)) occurrence per gram.
+
+    ``repeated_ngrams`` is the detection signal; this rewrites the text.
+    A passage of L >= n repeated words yields L-n+1 hot grams whose cut
+    spans [pos, pos+n) union to the whole passage, so entire shared
+    passages disappear from all but the earliest document; words not
+    inside any repeated n-gram are untouched.
+
+    Dataflow (100 TB shape): doc -> positional gram rows (3 fixed-width
+    ints, no text) -> ONE gram-bucket shuffle -> per-gram keeper
+    election + cut-position emission -> ONE doc-bucket shuffle unioning
+    cut positions with the docs (the text travels exactly once, into
+    the reducer that rewrites it) -> (doc_id, text, n_words,
+    n_words_removed).  Both shuffles use cluster-scaled fan-outs.
+
+    Returns a Dataset with ONLY (doc_id, text, n_words,
+    n_words_removed) — rewrite semantics, pinned by the planted-passage
+    pytest (not SQL-expressible at reasonable cost).
+    """
+    from .partitioning import bucket_array, default_buckets
+
+    nb = n_buckets or default_buckets()
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        gs: list[int] = []
+        ds_: list[int] = []
+        ps: list[int] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            hs = _ngram_hashes(text, n)
+            gs.extend(hs)
+            ds_.extend([doc_id] * len(hs))
+            ps.extend(range(len(hs)))
+        g = np.asarray(gs, dtype=np.int64)
+        return pa.table({
+            "gram": pa.array(g, pa.int64()),
+            "doc_id": pa.array(np.asarray(ds_, np.int64), pa.int64()),
+            "pos": pa.array(np.asarray(ps, np.int64), pa.int64()),
+            "__gb": pa.array((g % nb).astype(np.int32) if len(g)
+                             else np.array([], np.int32), pa.int32()),
+        })
+
+    def cut_positions(group: pd.DataFrame) -> pd.DataFrame:
+        """One gram bucket: per hot gram keep the lexicographic-min
+        (doc_id, pos) occurrence, emit every other occurrence as a cut."""
+        df = group.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
+        hot = df[df.groupby("gram")["doc_id"].transform("nunique")
+                 >= min_docs]
+        cut = hot.iloc[1:][hot["gram"].to_numpy()[1:]
+                           == hot["gram"].to_numpy()[:-1]] \
+            if len(hot) else hot
+        d = cut["doc_id"].to_numpy(np.int64) if len(cut) else \
+            np.array([], np.int64)
+        return pd.DataFrame({
+            "doc_id": d,
+            "pos": (cut["pos"].to_numpy(np.int64) if len(cut)
+                    else np.array([], np.int64)),
+            "__db": bucket_array(d, nb),
+        })
+
+    cuts = (docs_ds.map_batches(pos_rows, batch_format="pyarrow")
+            .groupby("__gb")
+            .map_groups(cut_positions, batch_format="pandas"))
+
+    def tag_cuts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array([""] * t.num_rows, pa.string()),
+            "pos": t["pos"],
+            "__db": t["__db"],
+        })
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "pos": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "__db": pa.array(bucket_array(t["doc_id"], nb), pa.int32()),
+        })
+
+    def rewrite(group: pd.DataFrame) -> pd.DataFrame:
+        doc_rows = group[group["pos"] < 0]
+        cut_rows = group[group["pos"] >= 0]
+        by_doc = {k: v["pos"].to_numpy(np.int64)
+                  for k, v in cut_rows.groupby("doc_id")}
+        ids, texts, nw, nr = [], [], [], []
+        for doc_id, text in zip(doc_rows["doc_id"].to_numpy(np.int64),
+                                doc_rows["text"]):
+            words = text.split()
+            starts = by_doc.get(doc_id)
+            if starts is None or not len(words):
+                removed = 0
+            else:
+                # interval union via a +1/-1 delta array, vectorized
+                delta = np.zeros(len(words) + 1, np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, np.minimum(starts + n, len(words)), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                removed = int(covered.sum())
+                if removed:
+                    keep = ~covered
+                    words = [w for w, k in zip(words, keep) if k]
+            ids.append(int(doc_id))
+            texts.append(" ".join(words))
+            nw.append(len(text.split()))
+            nr.append(removed)
+        out = pd.DataFrame({
+            "doc_id": np.asarray(ids, np.int64),
+            "n_words": np.asarray(nw, np.int64),
+            "n_words_removed": np.asarray(nr, np.int64),
+        })
+        out.insert(1, "text", texts)
+        return out
+
+    tagged = (docs_ds.select_columns(["doc_id", "text"])
+              .map_batches(tag_docs, batch_format="pyarrow")
+              .union(cuts.map_batches(tag_cuts, batch_format="pyarrow")))
+    return tagged.groupby("__db").map_groups(rewrite,
+                                             batch_format="pandas")

@@ -347,6 +347,40 @@ def test_repeated_ngrams_finds_planted_passage(ray_session):
     row = df[df["gram"] == _ngram_hashes(passage, 10)[0]].iloc[0]
     assert row["n_docs"] == 3 and row["n_occurrences"] == 3
 
+def test_remove_repeated_passages_apply(ray_session):
+    """ExactSubstr APPLY semantics: a shared 12-word passage survives
+    only in the earliest doc; other docs lose exactly the passage words;
+    docs without repeated n-grams pass through byte-identical."""
+    from kb_ner_ray.stages.dedup import remove_repeated_passages
+
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu")  # 12 words
+    uniq = [f"unique doc {i} " + " ".join(f"w{i}q{j}" for j in range(15))
+            for i in range(3)]
+    texts = [
+        "start0 start1 start2 " + passage + " end0 end1",     # keeper
+        "other lead words here " + passage + " trailing bits",
+        passage,
+    ] + uniq
+    out = (remove_repeated_passages(_docs_ds(texts), n=5, min_docs=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(texts)
+    assert list(out["n_words"]) == [len(t.split()) for t in texts]
+    # keeper (min doc_id) untouched
+    assert out.loc[0, "text"] == texts[0]
+    assert out.loc[0, "n_words_removed"] == 0
+    # later docs lose exactly the 12 passage words
+    for i in (1, 2):
+        assert out.loc[i, "n_words_removed"] == 12
+        assert "gamma" not in out.loc[i, "text"]
+    assert out.loc[1, "text"] == "other lead words here trailing bits"
+    assert out.loc[2, "text"] == ""
+    # unique docs byte-identical
+    for i in range(3, 6):
+        assert out.loc[i, "text"] == texts[i]
+        assert out.loc[i, "n_words_removed"] == 0
+
+
 def _pairs_set(df):
     return set(map(tuple, df[["doc_a", "doc_b"]].itertuples(index=False)))
 
