@@ -48,7 +48,34 @@ def _consume(res) -> int:
     return len(res)
 
 
+# A box_control_sec above this marks a degraded-box episode (healthy
+# 0.5-1.3 s at sf0.1/32cpu; degraded episodes measure 2-5 s — see
+# BASELINE.md).  One retry after an idle pause; both controls reported.
+BOX_CONTROL_DEGRADED_SEC = float(
+    os.environ.get("GRAFT_BOX_CONTROL_DEGRADED", "2.0"))
+
+
 def run_bench() -> dict:
+    """One measured pass; retried ONCE (in a FRESH process — driver-side
+    ObjectRef caches die with their session) if the box-noise control
+    says the draw hit a degraded episode.  The retry is reported, not
+    hidden: both controls appear in the output."""
+    first = _run_bench_once()
+    if first["box_control_sec"] <= BOX_CONTROL_DEGRADED_SEC:
+        return first
+    time.sleep(90)  # let the episode pass (they are multi-minute)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--once"],
+        env=dict(os.environ), capture_output=True, text=True, check=True)
+    second = json.loads(out.stdout.strip().splitlines()[-1])
+    best = min((first, second), key=lambda r: r["box_control_sec"])
+    best["degraded_draw_retried"] = True
+    best["box_control_both"] = [first["box_control_sec"],
+                                second["box_control_sec"]]
+    return best
+
+
+def _run_bench_once() -> dict:
     import logging
 
     import ray
@@ -248,7 +275,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--headline" in sys.argv:
+    if "--once" in sys.argv:
+        result = _run_bench_once()
+    elif "--headline" in sys.argv:
         i = sys.argv.index("--headline")
         result = run_headline(int(sys.argv[i + 1]), float(sys.argv[i + 2]))
     elif "--scaling" in sys.argv:
