@@ -381,6 +381,50 @@ def test_remove_repeated_passages_apply(ray_session):
         assert out.loc[i, "n_words_removed"] == 0
 
 
+def test_remove_repeated_passages_matches_bruteforce(ray_session):
+    """Randomized corpus (small vocab => plenty of accidental repeats):
+    the distributed rewrite must equal a straight-line reference that
+    elects per-gram keepers globally and cuts interval unions."""
+    import numpy as np
+
+    from kb_ner_ray.stages.dedup import (_ngram_hashes,
+                                         remove_repeated_passages)
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 30)))
+             for _ in range(40)]
+    n, min_docs = 4, 2
+
+    # brute-force reference
+    occ: dict[int, list[tuple[int, int]]] = {}
+    for d, text in enumerate(texts):
+        for p, g in enumerate(_ngram_hashes(text, n)):
+            occ.setdefault(g, []).append((d, p))
+    cuts: dict[int, list[int]] = {}
+    for g, lst in occ.items():
+        if len({d for d, _ in lst}) < min_docs:
+            continue
+        for d, p in sorted(lst)[1:]:
+            cuts.setdefault(d, []).append(p)
+    want = []
+    for d, text in enumerate(texts):
+        words = text.split()
+        covered = np.zeros(len(words), bool)
+        for p in cuts.get(d, []):
+            covered[p:p + n] = True
+        want.append((d, " ".join(w for w, c in zip(words, covered)
+                                 if not c),
+                     len(words), int(covered.sum())))
+
+    got = (remove_repeated_passages(_docs_ds(texts), n=n,
+                                    min_docs=min_docs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert [tuple(r) for r in got[["doc_id", "text", "n_words",
+                                   "n_words_removed"]]
+            .itertuples(index=False)] == want
+
+
 def _pairs_set(df):
     return set(map(tuple, df[["doc_a", "doc_b"]].itertuples(index=False)))
 
