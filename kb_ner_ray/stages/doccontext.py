@@ -96,9 +96,14 @@ def attach_document_context(sentences_ds, doc_col: str = "url",
     (left_context, right_context, n_subtokens, left_ctx_subtokens,
     right_ctx_subtokens).
 
-    ``pre_grouped=True`` asserts each input batch holds every sentence of
-    the documents it touches (the kg explode stage's shape) and skips the
-    shuffle; the default runs one ``groupby(doc_col)``.
+    ``pre_grouped=True`` asserts each input BLOCK holds every sentence of
+    the documents it touches and skips the shuffle (``batch_size=None``
+    so Ray hands over whole blocks — the default 1024-row re-batching
+    would split documents).  That contract holds for the kg explode
+    stage's output as long as a map task's output block stays under
+    ``DataContext.target_max_block_size`` (dynamic block splitting cuts
+    at arbitrary row boundaries); when in doubt use the default, which
+    runs one ``groupby(doc_col)`` shuffle and is always correct.
     """
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
@@ -118,6 +123,7 @@ def attach_document_context(sentences_ds, doc_col: str = "url",
                 [per_doc(g) for _k, g in df.groupby(doc_col, sort=False)],
                 ignore_index=True)
 
-        return sentences_ds.map_batches(per_batch, batch_format="pandas")
+        return sentences_ds.map_batches(per_batch, batch_format="pandas",
+                                        batch_size=None)
     return sentences_ds.groupby(doc_col).map_groups(per_doc,
                                                     batch_format="pandas")
