@@ -36,6 +36,10 @@ SIDE_QUERIES = [
     "simhash_dedup",
     "kg_mentions_iter2",
     "doc_gopher_rules",
+    # round-3 operators
+    "near_dup_keep",
+    "source_stats_salted",
+    "doc_passage_dedup",
 ]
 
 
