@@ -54,7 +54,11 @@ def link_mention(surface_tokens: tuple, sent_tokens: list[str],
 
 
 def clean_context(ctx: str) -> str:
-    """Printable filter (reference M10, kb/context_process.py:410)."""
+    """Printable filter (reference M10, kb/context_process.py:410).
+    Fast path: one C-level whole-string check — almost every context is
+    fully printable, and the per-char scan only runs on the dirty ones."""
+    if ctx.isprintable():
+        return ctx
     return "".join(c for c in ctx if c.isprintable())
 
 

@@ -76,6 +76,11 @@ def subtoken_count(text: str) -> int:
         return _counter(text)
     count = 0
     for word in text.split():
+        if word.isascii() and word.isalnum():
+            # fast path, provably identical: ASCII alnum has no CJK and
+            # no [^\w\s] matches, so cjk = punct = 0 and rest = len(word)
+            count += (len(word) + 3) // 4
+            continue
         cjk = len(_CJK_RE.findall(word))
         punct = len(_PUNCT_RE.findall(word))
         rest = len(word) - cjk - punct
