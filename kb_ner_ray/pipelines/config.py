@@ -202,6 +202,66 @@ def _stage_dedup_exact(ds, ctx, **_):
     return exact_dedup(ds)
 
 
+@register("quality_filter")
+def _stage_quality_filter(ds, ctx, **_):
+    """Keep only docs passing the Gopher rule set (textstats
+    doc_gopher_rules `keep`); output keeps the input schema."""
+    import pyarrow.compute as pc
+
+    from ..stages.textstats import doc_gopher_rules
+
+    def keep(t):
+        flags = doc_gopher_rules(t.select(["doc_id", "text"]))
+        return t.filter(pc.equal(flags["keep"], 1))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+@register("passage_dedup")
+def _stage_passage_dedup(ds, ctx, n: int = 10, min_docs: int = 2):
+    """ExactSubstr apply: cut non-canonical repeated-passage occurrences
+    (Lee et al. 2022); input needs (doc_id, text)."""
+    from ..stages.dedup import remove_repeated_passages
+
+    return remove_repeated_passages(ds, n=n, min_docs=min_docs)
+
+
+@register("near_dup_keep")
+def _stage_near_dup_keep(ds, ctx, method: str = "jaccard",
+                         threshold: float = 0.75):
+    """Near-dup dedup-apply: pair generation (``method``: jaccard |
+    minhash | simhash) -> connected components -> drop every
+    non-canonical cluster member."""
+    from ..stages.components import near_dup_keep
+    from ..stages.dedup import (minhash_lsh_pairs_inband,
+                                ngram_jaccard_pairs, simhash_near_dups)
+
+    docs = ds.materialize()  # feeds both the pair generator and the keep
+    if method == "jaccard":
+        pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs_inband(docs, threshold=threshold)
+    elif method == "simhash":
+        pairs = simhash_near_dups(docs)
+    else:
+        raise ValueError(f"unknown near-dup method {method!r}")
+    return near_dup_keep(docs, pairs)
+
+
+@register("doc_context")
+def _stage_doc_context(ds, ctx, doc_col: str = "url",
+                       order_col: str = "sent_id", text_col: str = "text",
+                       budget: int | None = None,
+                       pre_grouped: bool = False):
+    """FLERT-style document-context attach over a sentences dataset."""
+    from ..stages.doccontext import DOC_CONTEXT_BUDGET, \
+        attach_document_context
+
+    return attach_document_context(
+        ds, doc_col=doc_col, order_col=order_col, text_col=text_col,
+        budget=budget or DOC_CONTEXT_BUDGET, pre_grouped=pre_grouped)
+
+
 def build_pipeline(cfg: PipelineConfig):
     """Config -> lazy Dataset (caller consumes / writes)."""
     import ray.data as rd

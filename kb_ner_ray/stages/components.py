@@ -106,6 +106,13 @@ def components_from_pairs(pairs_ds, a_col: str = "doc_a",
     # expensive upstream generator (LSH verify) runs ONCE.  Bounded:
     # verified pairs only, never the corpus.
     pairs_ds = pairs_ds.select_columns([a_col, b_col]).materialize()
+    if pairs_ds.count() == 0:
+        # no edges -> no components (empty blocks can drop their column
+        # schema through pandas round-trips, so don't fall through)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+        }))
     gate = (DRIVER_CC_MAX_BYTES if driver_max_bytes is None
             else driver_max_bytes)
     if (pairs_ds.size_bytes() or 0) <= gate:

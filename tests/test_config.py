@@ -113,3 +113,43 @@ def test_config_rerank_stage(ray_session):
     df = build_pipeline(cfg).to_pandas()
     assert len(df) > 0
     assert df.groupby(["url", "sent_id"])["rank"].max().max() <= 4
+
+
+def test_config_corpus_ops_stages(ray_session, tmp_path):
+    """Round-3 data-op stages compose from YAML-shaped configs:
+    quality_filter -> passage_dedup chains, and near_dup_keep drops
+    non-canonical cluster members while keeping the min doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    passage = " ".join(f"p{i}" for i in range(12))
+    texts = [base + " " + passage,
+             "lead words here " + passage + " " + base,
+             # same token count as doc 0 (length blocking pairs them)
+             base.replace("tok59", "zzz59") + " " + passage]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "p.parquet"))
+
+    cfg = PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("quality_filter"),
+                StageConfig("passage_dedup",
+                            {"n": 5, "min_docs": 2})])
+    out = (build_pipeline(cfg).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 3            # all pass the Gopher rules
+    assert out.loc[0, "n_words_removed"] == 0     # canonical doc intact
+    assert (out["n_words_removed"] > 0).any()     # dupes got cut
+
+    cfg2 = PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("near_dup_keep",
+                            {"method": "jaccard", "threshold": 0.5})])
+    kept = build_pipeline(cfg2).to_pandas()
+    assert 0 in set(kept["doc_id"])  # min-id member always survives
+    assert len(kept) < 3             # at least one near-dup dropped
