@@ -16,6 +16,7 @@ Fills two reference seats:
 
 from __future__ import annotations
 
+import functools
 import re
 
 _WORD_RE = re.compile(r"\S+")
@@ -74,19 +75,25 @@ def subtoken_count(text: str) -> int:
     """
     if _counter is not None:
         return _counter(text)
-    count = 0
-    for word in text.split():
-        if word.isascii() and word.isalnum():
-            # fast path, provably identical: ASCII alnum has no CJK and
-            # no [^\w\s] matches, so cjk = punct = 0 and rest = len(word)
-            count += (len(word) + 3) // 4
-            continue
-        cjk = len(_CJK_RE.findall(word))
-        punct = len(_PUNCT_RE.findall(word))
-        rest = len(word) - cjk - punct
-        count += cjk + punct + (rest + 3) // 4 if (cjk or punct or rest) else 0
-        if rest == 0 and cjk == 0 and punct == 0:
-            count += 1
+    return sum(map(_word_cost, text.split()))
+
+
+@functools.lru_cache(maxsize=262144)
+def _word_cost(word: str) -> int:
+    """Default cost of ONE whitespace token.  Word-level LRU: natural
+    text re-uses a bounded vocabulary, so the regex scans run once per
+    distinct word per process.  Only the DEFAULT model is cached — a
+    swapped-in backend (set_subtoken_backend) bypasses this entirely."""
+    if word.isascii() and word.isalnum():
+        # fast path, provably identical: ASCII alnum has no CJK and no
+        # [^\w\s] matches, so cjk = punct = 0 and rest = len(word)
+        return (len(word) + 3) // 4
+    cjk = len(_CJK_RE.findall(word))
+    punct = len(_PUNCT_RE.findall(word))
+    rest = len(word) - cjk - punct
+    count = cjk + punct + (rest + 3) // 4 if (cjk or punct or rest) else 0
+    if rest == 0 and cjk == 0 and punct == 0:
+        count += 1
     return count
 
 
