@@ -985,3 +985,62 @@ def remove_repeated_passages(docs_ds, n: int = 10, min_docs: int = 2,
               .union(cuts.map_batches(tag_cuts, batch_format="pyarrow")))
     return tagged.groupby("__db").map_groups(rewrite,
                                              batch_format="pandas")
+
+
+def decontaminate(docs_ds, benchmark_ds, n: int = 8,
+                  max_benchmark_bytes: int = 1 << 30):
+    """Benchmark decontamination: flag corpus docs sharing >= 1 word
+    n-gram with a benchmark/eval set (the standard train-set hygiene
+    step; cf. the n-gram-overlap decontamination in GPT-3 appendix C /
+    Gopher / The Pile).
+
+    Scale shape: the BENCHMARK side is the small one (eval suites are
+    MBs, the corpus is the 100-TB side), so its distinct gram hashes are
+    collected once, sorted, and ``ray.put`` broadcast; every corpus
+    batch does a vectorized ``searchsorted`` membership — no shuffle at
+    all.  Raises if the collected benchmark grams exceed
+    ``max_benchmark_bytes`` rather than silently materializing a big
+    side on the driver (use the repeated-ngrams join path for
+    corpus-vs-corpus overlap).
+
+    Returns Dataset(doc_id, n_overlap, contaminated) over ``docs_ds``
+    (n_overlap = count of DISTINCT shared grams).
+    """
+    import ray
+    import ray.data  # noqa: F401  (docs_ds already implies ray.data)
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        out = set()
+        for text in t.column("text").to_pylist():
+            out.update(_ngram_hashes(text, n))
+        return pa.table({"g": pa.array(sorted(out), pa.int64())})
+
+    pdf = benchmark_ds.map_batches(
+        bench_grams, batch_format="pyarrow").to_pandas()
+    grams = (np.unique(pdf["g"].to_numpy(np.int64)) if len(pdf)
+             else np.array([], np.int64))
+    if grams.nbytes > max_benchmark_bytes:
+        raise ValueError(
+            f"decontaminate: benchmark gram set is {grams.nbytes} bytes "
+            f"(> {max_benchmark_bytes}); the broadcast plan needs a SMALL "
+            "benchmark side - use repeated_ngrams/join for corpus-vs-corpus")
+    grams_ref = ray.put(grams)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bench = ray.get(grams_ref)  # zero-copy per worker
+        ids = t.column("doc_id")
+        n_over = np.zeros(t.num_rows, np.int64)
+        for i, text in enumerate(t.column("text").to_pylist()):
+            hs = np.fromiter(set(_ngram_hashes(text, n)), np.int64)
+            if len(hs) and len(bench):
+                pos = np.searchsorted(bench, hs)
+                pos[pos == len(bench)] = 0
+                n_over[i] = int((bench[pos] == hs).sum())
+        return pa.table({
+            "doc_id": ids,
+            "n_overlap": pa.array(n_over, pa.int64()),
+            "contaminated": pa.array((n_over > 0).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")

@@ -512,3 +512,23 @@ def test_cosine_pairs_blocked_matches_broadcast_exactly(ray_session):
             got[["vec_a", "vec_b"]], want[["vec_a", "vec_b"]],
             check_dtype=False)
         assert np.allclose(got["sim"], want["sim"])
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """A train doc containing a benchmark 8-gram is flagged; clean docs
+    are not; the benchmark-too-big guard raises instead of broadcasting."""
+    import pytest as _pytest
+
+    from kb_ner_ray.stages.dedup import decontaminate
+
+    bench_passage = " ".join(f"b{i}" for i in range(8))
+    docs = _docs_ds(["clean words " + " ".join(f"c{i}" for i in range(10)),
+                     "prefix " + bench_passage + " suffix",
+                     "short"])
+    bench = _docs_ds(["some eval question " + bench_passage])
+    out = (decontaminate(docs, bench, n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["contaminated"]) == [0, 1, 0]
+    assert out.loc[1, "n_overlap"] == 1
+    with _pytest.raises(ValueError, match="SMALL"):
+        decontaminate(docs, bench, n=8, max_benchmark_bytes=4)
