@@ -248,6 +248,20 @@ def _stage_near_dup_keep(ds, ctx, method: str = "jaccard",
     return near_dup_keep(docs, pairs)
 
 
+@register("decontaminate")
+def _stage_decontaminate(ds, ctx, benchmark: str = "", n: int = 8,
+                         max_benchmark_bytes: int = 1 << 30):
+    """Flag docs overlapping a benchmark parquet (path in ``benchmark``)
+    by word n-gram; broadcast-small-side plan (see dedup.decontaminate)."""
+    import ray.data as rd
+
+    from ..stages.dedup import decontaminate
+
+    assert benchmark, "decontaminate stage needs `benchmark:` parquet path"
+    return decontaminate(ds, rd.read_parquet(benchmark), n=n,
+                         max_benchmark_bytes=max_benchmark_bytes)
+
+
 @register("doc_context")
 def _stage_doc_context(ds, ctx, doc_col: str = "url",
                        order_col: str = "sent_id", text_col: str = "text",

@@ -510,6 +510,48 @@ SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
+def q_events_hopping(sf_dir: str):
+    """HOPPING (sliding) event-time windows: 1-hour windows every 15
+    minutes, so each event lands in 4 overlapping windows.  Per-batch
+    window-key explode (4 fixed offsets) + the same bounded-key combiner
+    plan as events_hourly — the window count is time-range/hop x types,
+    a calendar-bounded key space."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    hops = [pa.scalar(15 * k * 60_000_000, pa.duration("us"))
+            for k in range(4)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=15, unit="minute")
+        parts = []
+        for off in hops:
+            ws = pc.subtract(base, off)
+            parts.append(pa.table({
+                "event_type": t["event_type"], "window_start": ws,
+                "value": t["value"]}))
+        return pa.concat_tables(parts).group_by(
+            ["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    df = _tree_agg(ds, ["event_type", "window_start"], partial,
+                   {"value_sum": "sum", "value_count": "sum"})
+    df["sum_value"] = _cents(df["value_sum"])
+    df["n_events"] = df["value_count"].astype(np.int64)
+    return df[["event_type", "window_start", "n_events", "sum_value"]]
+
+
+SQL_EVENTS_HOPPING = """
+SELECT event_type,
+       date_trunc('hour', ts)
+         + (CAST(extract(minute FROM ts) AS BIGINT) // 15)
+           * INTERVAL '15 minutes'
+         - CAST(i AS BIGINT) * INTERVAL '15 minutes' AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value
+FROM events CROSS JOIN unnest([0, 1, 2, 3]) AS u(i)
+GROUP BY event_type, window_start
+"""
+
+
 def q_events_lead_lag(sf_dir: str):
     """Per-user lead/lag window: seconds since the user's previous event
     and until the next (NULL-free: -1 sentinel at the edges to keep the
@@ -2403,6 +2445,10 @@ def queries_registry():
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "kg_doc_context": q_kg_doc_context,
+        # exact-oracled but past the window (all 50 slots carry flagship
+        # or exact entries already; tools/check_queries.py still verifies
+        # these against their oracle):
+        "events_hopping": q_events_hopping,
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2476,6 +2522,7 @@ def oracle_registry():
         "near_dup_keep": SQL_NEAR_DUP_KEEP,
         "source_stats_salted": SQL_SOURCE_STATS,
         "doc_decontaminate": SQL_DECONTAMINATE,
+        "events_hopping": SQL_EVENTS_HOPPING,
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
