@@ -2067,6 +2067,55 @@ def q_kg_span_metric(sf_dir: str):
                "f1_bp"]]
 
 
+def q_kg_entity_pagerank(sf_dir: str):
+    """Entity-importance PageRank over the materialized triple graph
+    (subj -> obj edges): the classic KG analytics step after
+    construction.  Entities hash to stable int64 node ids for the
+    iterative loop (driver/distributed plan auto-selected, see
+    stages/components.pagerank); names rejoin from the bounded entity
+    vocabulary.  Rows-only (iterative float algorithm); both plans are
+    pinned to a straight-line numpy power iteration by pytest."""
+    import hashlib as _hl
+
+    from ..stages.components import pagerank
+
+    triples = q_kg_triples(sf_dir)
+
+    def hid(s: str) -> int:
+        return int.from_bytes(
+            _hl.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        subj = t.column("subj").to_pylist()
+        obj = t.column("obj").to_pylist()
+        return pa.table({
+            "src": pa.array([hid(s) for s in subj], pa.int64()),
+            "dst": pa.array([hid(o) for o in obj], pa.int64()),
+            "name_src": pa.array(subj, pa.string()),
+            "name_obj": pa.array(obj, pa.string()),
+        })
+
+    edges = triples.map_batches(edge_rows, batch_format="pyarrow")
+    ranks = pagerank(edges, n_iters=10).to_pandas()
+
+    # node id -> entity name (bounded by the entity vocabulary — the
+    # same driver-side bound the canonicalization combine relies on)
+    def name_pairs(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"node": t["src"], "entity": t["name_src"]}),
+            pa.table({"node": t["dst"], "entity": t["name_obj"]}),
+        ])
+
+    names = (edges.map_batches(name_pairs, batch_format="pyarrow")
+             .to_pandas().drop_duplicates("node"))
+    out = ranks.merge(names, on="node", how="left")
+    out["rank_bp"] = _cents(out["rank"], 10_000_000)
+    out = (out.sort_values(["rank_bp", "entity"],
+                           ascending=[False, True])
+           .reset_index(drop=True).head(100))
+    return out[["entity", "rank_bp"]]
+
+
 def q_kg_contexts_entity(sf_dir: str):
     """Iterative entity-level retrieval (reference --with_entity + second
     pass, README.md:276-278): pass-1 mention detection feeds entity-boosted
@@ -2462,6 +2511,7 @@ def queries_registry():
         "doc_langid": q_doc_langid,
         "doc_repeated_ngrams": q_doc_repeated_ngrams,
         "doc_passage_dedup": q_doc_passage_dedup,
+        "kg_entity_pagerank": q_kg_entity_pagerank,
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_contexts_reranked": q_kg_contexts_reranked,
         "kg_distant_supervision": q_kg_distant_supervision,

@@ -285,3 +285,197 @@ def near_dup_keep(docs_ds, pairs_ds, id_col: str = "doc_id",
 
     return tagged.groupby("__b").map_groups(filter_bucket,
                                             batch_format="pandas")
+
+
+def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, n_iters: int = 10,
+             n_buckets: int | None = None,
+             driver_max_bytes: int | None = None):
+    """Distributed PageRank over a directed edge list (the classic
+    power iteration; Page et al. 1999) — entity-importance ranking for
+    the materialized triple graph (subj -> obj edges).
+
+    Semantics (pinned by the pytest straight-line reference):
+
+    * N = count of distinct nodes appearing as src or dst;
+    * rank_0(v) = 1/N;
+    * rank_{t+1}(v) = (1-d)/N + d * (sum over in-edges u->v of
+      rank_t(u)/outdeg(u) + dangling_mass/N), where dangling_mass is
+      the total rank of nodes with no out-edges (standard redistribution
+      so the ranks keep summing to 1);
+    * fixed ``n_iters`` iterations (deterministic — no float tolerance).
+
+    Plans, auto-selected on measured edge bytes exactly like
+    ``components_from_pairs``: small graphs run the numpy power
+    iteration on the driver; large ones run the bucketed message loop
+    (per round: ONE shuffle of contributions keyed on hash(dst) — the
+    static edge table is pre-bucketed once and re-grouped with the
+    rank frontier, which is 2 fixed-width columns over nodes).
+
+    Returns Dataset(node, rank: float64).
+    """
+    import ray.data as rd
+
+    nb = n_buckets or default_buckets()
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+    gate = (DRIVER_CC_MAX_BYTES if driver_max_bytes is None
+            else driver_max_bytes)
+    if (edges.size_bytes() or 0) <= gate:
+        pdf = edges.to_pandas()
+        if not len(pdf):
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.float64())}))
+        src = pdf[src_col].to_numpy(np.int64)
+        dst = pdf[dst_col].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        si = np.fromiter((idx[int(x)] for x in src), np.int64, len(src))
+        di = np.fromiter((idx[int(x)] for x in dst), np.int64, len(dst))
+        n = len(nodes)
+        outdeg = np.bincount(si, minlength=n)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(n_iters):
+            contrib = np.zeros(n)
+            w = rank[si] / outdeg[si]          # outdeg>0 where si occurs
+            np.add.at(contrib, di, w)
+            dangling = rank[outdeg == 0].sum()
+            rank = ((1.0 - damping) / n
+                    + damping * (contrib + dangling / n))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "rank": pa.array(rank, pa.float64())}))
+
+    # ---- distributed message loop ------------------------------------
+    def orient(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[src_col].to_numpy(zero_copy_only=False), np.int64)
+        d = np.asarray(t[dst_col].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table({
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(d, pa.int64()),
+            "__b": pa.array(bucket_array(s, nb), pa.int32()),
+        })
+
+    e = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # node table with out-degrees (bucketed on node hash)
+    def node_rows(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False), np.int64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False), np.int64)
+        nodes, counts = np.unique(s, return_counts=True)
+        allnodes = np.concatenate([nodes, np.setdiff1d(np.unique(d), nodes)])
+        deg = np.concatenate([counts,
+                              np.zeros(len(allnodes) - len(nodes), np.int64)])
+        return pa.table({
+            "node": pa.array(allnodes, pa.int64()),
+            "outdeg": pa.array(deg, pa.int64()),
+            "__b": pa.array(bucket_array(allnodes, nb), pa.int32()),
+        })
+
+    def merge_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False).agg(
+            outdeg=("outdeg", "sum"), __b=("__b", "first"))
+        return out.astype({"node": np.int64, "outdeg": np.int64,
+                           "__b": np.int32})
+
+    node_tbl = (e.map_batches(node_rows, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(merge_nodes, batch_format="pandas")
+                .materialize())
+    n_nodes = node_tbl.count()
+
+    # ranks start uniform; each round: (a) co-group ranks with edges on
+    # the SRC bucket and emit rank/outdeg per edge keyed on dst; (b)
+    # co-group contributions with the node table on the NODE bucket and
+    # apply the damping update.  Dangling mass is a bounded driver-side
+    # scalar (sum over outdeg==0 ranks).
+    ranks = node_tbl.map_batches(
+        lambda t: pa.table({
+            "node": t["node"], "outdeg": t["outdeg"], "__b": t["__b"],
+            "rank": pa.array(np.full(t.num_rows, 1.0 / n_nodes),
+                             pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    def src_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["node"], "dst": pa.array(
+                np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "__b": pa.array(bucket_array(t["node"], nb), pa.int32()),
+            "rank": t["rank"],
+            "outdeg": t["outdeg"],
+        })
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "src": t["src"], "dst": t["dst"], "__b": t["__b"],
+            "rank": pa.array(np.zeros(n), pa.float64()),
+            "outdeg": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def emit_contribs(g: pd.DataFrame) -> pa.Table:
+        lab = g[g["dst"] == -1][["src", "rank", "outdeg"]]
+        lab = lab[lab["outdeg"] > 0]
+        edg = g[g["dst"] != -1][["src", "dst"]]
+        m = edg.merge(lab, on="src", how="inner")
+        dst = m["dst"].to_numpy(np.int64)
+        w = (m["rank"] / m["outdeg"]).to_numpy(np.float64)
+        return pa.table({
+            "node": pa.array(dst, pa.int64()),
+            "contrib": pa.array(w, pa.float64()),
+            "__b": pa.array(bucket_array(dst, nb), pa.int32()),
+        })
+
+    def dangling_partial(t: pa.Table) -> pa.Table:
+        deg = np.asarray(t["outdeg"].to_numpy(zero_copy_only=False))
+        rk = np.asarray(t["rank"].to_numpy(zero_copy_only=False))
+        return pa.table({"d": pa.array([float(rk[deg == 0].sum())],
+                                       pa.float64())})
+
+    for _ in range(n_iters):
+        dangling = float(
+            ranks.map_batches(dangling_partial,
+                              batch_format="pyarrow").sum("d") or 0.0)
+        msgs = (e.map_batches(edge_key, batch_format="pyarrow")
+                .union(ranks.map_batches(src_key, batch_format="pyarrow"))
+                .groupby("__b")
+                .map_groups(emit_contribs, batch_format="pandas"))
+
+        def contrib_rows(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"], "outdeg": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "val": t["contrib"], "__b": t["__b"],
+            })
+
+        def rank_rows(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"], "outdeg": t["outdeg"],
+                "val": pa.array(np.zeros(t.num_rows), pa.float64()),
+                "__b": t["__b"],
+            })
+
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def apply_update(g: pd.DataFrame) -> pd.DataFrame:
+            deg = g[g["outdeg"] >= 0][["node", "outdeg"]]
+            s = (g[g["outdeg"] < 0].groupby("node")["val"].sum()
+                 if (g["outdeg"] < 0).any() else None)
+            out = deg.copy()
+            c = (out["node"].map(s).fillna(0.0).to_numpy(np.float64)
+                 if s is not None else np.zeros(len(out)))
+            out["rank"] = base + damping * c
+            out["__b"] = np.full(len(out), int(g["__b"].iloc[0]), np.int32)
+            return out.astype({"node": np.int64, "outdeg": np.int64,
+                               "__b": np.int32})
+
+        ranks = (msgs.map_batches(contrib_rows, batch_format="pyarrow")
+                 .union(ranks.map_batches(rank_rows,
+                                          batch_format="pyarrow"))
+                 .groupby("__b")
+                 .map_groups(apply_update, batch_format="pandas")
+                 .materialize())
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["rank"]}),
+        batch_format="pyarrow")

@@ -88,3 +88,61 @@ def test_near_dup_keep_planted(ray_session):
     assert kept["doc_id"].tolist() == [0, 1, 4, 5, 7, 8, 9]
     assert list(kept.columns) == ["doc_id", "text"]
     assert kept.loc[kept["doc_id"] == 5, "text"].iloc[0] == "doc 5"
+
+
+def _pagerank_reference(edges, n_iters=10, d=0.85):
+    """Straight-line numpy power iteration (the pinned semantics)."""
+    import numpy as np
+
+    src = np.array([a for a, _ in edges], np.int64)
+    dst = np.array([b for _, b in edges], np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    si = np.array([idx[int(x)] for x in src])
+    di = np.array([idx[int(x)] for x in dst])
+    n = len(nodes)
+    outdeg = np.bincount(si, minlength=n)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, rank[si] / outdeg[si])
+        dang = rank[outdeg == 0].sum()
+        rank = (1 - d) / n + d * (contrib + dang / n)
+    return {int(nodes[i]): rank[i] for i in range(n)}
+
+
+def _edges_ds(edges):
+    import pyarrow as pa
+    import ray as _ray
+
+    return _ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    }))
+
+
+def test_pagerank_plans_match_reference(ray_session):
+    """Driver and distributed PageRank plans both reproduce the numpy
+    power iteration on a random graph with dangling nodes; the star
+    center out-ranks its leaves."""
+    import random
+
+    import numpy as np
+
+    from kb_ner_ray.stages.components import pagerank
+
+    rng = random.Random(23)
+    edges = list({(rng.randint(0, 25), rng.randint(0, 25))
+                  for _ in range(80)})
+    edges += [(i, 99) for i in range(6)]         # star onto node 99
+    want = _pagerank_reference(edges, n_iters=4)
+
+    for force in (None, 0):   # None -> driver plan; 0 -> distributed
+        got = (pagerank(_edges_ds(edges), driver_max_bytes=force,
+                        n_buckets=4, n_iters=4)
+               .to_pandas().set_index("node")["rank"].to_dict())
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-9, (force, k, got[k], v)
+    # the 6-in-edge star node beats the uniform baseline
+    assert want[99] > 1.0 / len(want)
