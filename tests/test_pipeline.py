@@ -222,3 +222,20 @@ def test_reranked_retriever_orders_by_scorer(tiny_corpus, refs, ray_session):
         assert list(g["rank"]) == list(range(len(g)))
         assert (g["rerank_score"].diff().dropna() <= 1e-6).all()
         assert len(g) <= 10
+
+
+def test_flagship_plan_has_no_shuffle(ray_session):
+    """Architectural pin: the flagship pages->triples pipeline is ONE
+    streaming pass — no all-to-all exchange anywhere (canonicalization
+    is a per-batch combiner + vocabulary-bounded driver merge).  A
+    future edit that introduces a groupby/sort/repartition into the hot
+    path should fail here, not at 100 TB."""
+    from kb_ner_ray.data.synth import corpus_dir
+    from kb_ner_ray.pipelines.kg import kg_triples
+
+    ds = kg_triples(corpus_dir(0.001))
+    assert ds.count() > 0
+    stats = ds.stats()
+    for marker in ("AllToAll", "Sort", "Aggregate", "RandomShuffle",
+                   "Repartition"):
+        assert marker not in stats, f"unexpected {marker} in plan:\n{stats}"
