@@ -228,21 +228,31 @@ def _stage_passage_dedup(ds, ctx, n: int = 10, min_docs: int = 2):
 
 @register("near_dup_keep")
 def _stage_near_dup_keep(ds, ctx, method: str = "jaccard",
-                         threshold: float = 0.75):
+                         threshold: float | None = None,
+                         max_dist: int = 3):
     """Near-dup dedup-apply: pair generation (``method``: jaccard |
     minhash | simhash) -> connected components -> drop every
-    non-canonical cluster member."""
+    non-canonical cluster member.  ``threshold`` applies to the
+    similarity methods (jaccard/minhash); simhash is Hamming-bounded and
+    takes ``max_dist`` instead — passing ``threshold`` with simhash
+    raises rather than being silently ignored."""
     from ..stages.components import near_dup_keep
     from ..stages.dedup import (minhash_lsh_pairs_inband,
                                 ngram_jaccard_pairs, simhash_near_dups)
 
     docs = ds.materialize()  # feeds both the pair generator and the keep
     if method == "jaccard":
-        pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=0.75 if threshold is None else threshold)
     elif method == "minhash":
-        pairs = minhash_lsh_pairs_inband(docs, threshold=threshold)
+        pairs = minhash_lsh_pairs_inband(
+            docs, threshold=0.8 if threshold is None else threshold)
     elif method == "simhash":
-        pairs = simhash_near_dups(docs)
+        if threshold is not None:
+            raise ValueError(
+                "near_dup_keep(method='simhash') is Hamming-bounded: "
+                "use max_dist, not threshold")
+        pairs = simhash_near_dups(docs, max_dist=max_dist)
     else:
         raise ValueError(f"unknown near-dup method {method!r}")
     return near_dup_keep(docs, pairs)

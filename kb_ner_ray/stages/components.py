@@ -53,6 +53,17 @@ from .partitioning import bucket_array, default_buckets
 DRIVER_CC_MAX_BYTES = 256 << 20
 
 
+def _check_nonneg_ids(*arrays: np.ndarray) -> None:
+    """The distributed loops use dst = -1 as the label/rank sentinel row
+    inside the message unions; negative node ids would be silently
+    misclassified as labels, so the public entry points reject them."""
+    for arr in arrays:
+        if len(arr) and int(arr.min()) < 0:
+            raise ValueError(
+                "components/pagerank require non-negative int64 node ids "
+                "(-1 is the internal message sentinel)")
+
+
 def _union_find_components(pdf: pd.DataFrame, a_col: str,
                            b_col: str) -> pd.DataFrame:
     """Driver-side union-find with path halving; component = min node id
@@ -127,6 +138,7 @@ def components_from_pairs(pairs_ds, a_col: str = "doc_a",
     def orient(t: pa.Table) -> pa.Table:
         a = np.asarray(t[a_col].to_numpy(zero_copy_only=False), np.int64)
         b = np.asarray(t[b_col].to_numpy(zero_copy_only=False), np.int64)
+        _check_nonneg_ids(a, b)
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
         return pa.table({
@@ -350,6 +362,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     def orient(t: pa.Table) -> pa.Table:
         s = np.asarray(t[src_col].to_numpy(zero_copy_only=False), np.int64)
         d = np.asarray(t[dst_col].to_numpy(zero_copy_only=False), np.int64)
+        _check_nonneg_ids(s, d)
         return pa.table({
             "src": pa.array(s, pa.int64()),
             "dst": pa.array(d, pa.int64()),

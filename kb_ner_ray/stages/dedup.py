@@ -181,19 +181,21 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
     ])
 
     def expand(df: pd.DataFrame) -> pa.Table:
+        # a member of part p belongs to exactly S of the S*(S+1)/2
+        # triangle cells: (i, p) for i <= p and (p, j) for j > p —
+        # enumerated directly (O(S) per row, not an O(S^2) scan)
         rows = []
-        for _, r in df.iterrows():
-            S = int(r["ovf_s"])
-            p = int(_tri_part([r["doc_id"]], S)[0])
-            for i in range(S):
-                for j in range(i, S):
-                    if p != i and p != j:
-                        continue
-                    rows.append((
-                        _tri_grp_key(int(r["band_id"]), r["bkey"], i, j),
-                        int(r["band_id"]), r["bkey"], i, j, p,
-                        int(r["doc_id"]),
-                        *[r[c] for c in payload_cols]))
+        for r in df.itertuples(index=False):
+            S = int(r.ovf_s)
+            p = int(_tri_part([r.doc_id], S)[0])
+            payload = [getattr(r, c) for c in payload_cols]
+            cells = [(i, p) for i in range(p + 1)] + \
+                    [(p, j) for j in range(p + 1, S)]
+            for i, j in cells:
+                rows.append((
+                    _tri_grp_key(int(r.band_id), r.bkey, i, j),
+                    int(r.band_id), r.bkey, i, j, p,
+                    int(r.doc_id), *payload))
         cols = ["tri_grp", "band_id", "bkey", "gi", "gj", "part", "doc_id",
                 *payload_cols]
         out = pd.DataFrame(rows, columns=cols)
@@ -955,6 +957,7 @@ def remove_repeated_passages(docs_ds, n: int = 10, min_docs: int = 2,
         for doc_id, text in zip(doc_rows["doc_id"].to_numpy(np.int64),
                                 doc_rows["text"]):
             words = text.split()
+            n0 = len(words)  # original count, before the cut mutates words
             starts = by_doc.get(doc_id)
             if starts is None or not len(words):
                 removed = 0
@@ -970,7 +973,7 @@ def remove_repeated_passages(docs_ds, n: int = 10, min_docs: int = 2,
                     words = [w for w, k in zip(words, keep) if k]
             ids.append(int(doc_id))
             texts.append(" ".join(words))
-            nw.append(len(text.split()))
+            nw.append(n0)
             nr.append(removed)
         out = pd.DataFrame({
             "doc_id": np.asarray(ids, np.int64),
@@ -1015,15 +1018,20 @@ def decontaminate(docs_ds, benchmark_ds, n: int = 8,
             out.update(_ngram_hashes(text, n))
         return pa.table({"g": pa.array(sorted(out), pa.int64())})
 
-    pdf = benchmark_ds.map_batches(
-        bench_grams, batch_format="pyarrow").to_pandas()
+    # size-gate BEFORE the driver collect: the per-batch gram tables stay
+    # in the object store (materialize) and their measured bytes decide
+    # whether the broadcast plan is even legal
+    g_ds = benchmark_ds.map_batches(
+        bench_grams, batch_format="pyarrow").materialize()
+    if (g_ds.size_bytes() or 0) > max_benchmark_bytes:
+        raise ValueError(
+            f"decontaminate: benchmark gram set is {g_ds.size_bytes()} "
+            f"bytes (> {max_benchmark_bytes}); the broadcast plan needs a "
+            "SMALL benchmark side - use repeated_ngrams/join for "
+            "corpus-vs-corpus")
+    pdf = g_ds.to_pandas()
     grams = (np.unique(pdf["g"].to_numpy(np.int64)) if len(pdf)
              else np.array([], np.int64))
-    if grams.nbytes > max_benchmark_bytes:
-        raise ValueError(
-            f"decontaminate: benchmark gram set is {grams.nbytes} bytes "
-            f"(> {max_benchmark_bytes}); the broadcast plan needs a SMALL "
-            "benchmark side - use repeated_ngrams/join for corpus-vs-corpus")
     grams_ref = ray.put(grams)
 
     def flag(t: pa.Table) -> pa.Table:
