@@ -40,6 +40,7 @@ SIDE_QUERIES = [
     "near_dup_keep",
     "source_stats_salted",
     "doc_passage_dedup",
+    "doc_decontaminate",
 ]
 
 
