@@ -2212,6 +2212,32 @@ def q_doc_passage_dedup(sf_dir: str):
         n=10, min_docs=2)
 
 
+def q_doc_unigram_ppl(sf_dir: str):
+    """CCNet-style LM-quality signal: per-doc average unigram negative
+    log-likelihood under the corpus's own MLE unigram model (two-pass:
+    bucketed token counts -> broadcast log-probs -> vectorized scoring).
+    Integer-rounded (bp) so the SQL oracle hash-matches."""
+    from ..stages.textstats import unigram_ppl
+
+    return unigram_ppl(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+
+
+SQL_UNIGRAM_PPL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(avg(-ln(c / s)) * 10000 + 0.5) AS BIGINT) AS nll_bp
+FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination (train-set hygiene, GPT-3 app. C /
     Gopher style): flag every TRAIN-split doc sharing >= 1 word 8-gram
@@ -2504,6 +2530,7 @@ def queries_registry():
         # or exact entries already; tools/check_queries.py still verifies
         # these against their oracle):
         "events_hopping": q_events_hopping,
+        "doc_unigram_ppl": q_doc_unigram_ppl,
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2579,6 +2606,7 @@ def oracle_registry():
         "source_stats_salted": SQL_SOURCE_STATS,
         "doc_decontaminate": SQL_DECONTAMINATE,
         "events_hopping": SQL_EVENTS_HOPPING,
+        "doc_unigram_ppl": SQL_UNIGRAM_PPL,
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,

@@ -158,3 +158,75 @@ def doc_gopher_rules(batch: pa.Table) -> pa.Table:
         "r_symbol": pa.array(r_symbol, pa.int64()),
         "keep": pa.array(keep, pa.int64()),
     })
+
+
+def unigram_ppl(docs_ds, n_buckets: int | None = None):
+    """Corpus-trained unigram negative-log-likelihood per document — the
+    CCNet-style LM-quality signal (Wenzek et al. 2020 bucket corpora by
+    LM perplexity; a unigram model is the dependency-free stand-in, with
+    the same two-pass dataflow a KenLM deployment would use).
+
+    Pass 1 (train): token counts via per-batch ``pyarrow.group_by``
+    partials + ONE bucketed shuffle; the resulting vocabulary (zipfian,
+    bounded — the same driver-side bound the canonicalization combine
+    relies on) is collected and broadcast once with MLE log-probs.
+    Pass 2 (score): per-batch vectorized token->logprob map (pandas
+    hash join) + segment sums.  Scoring the training corpus itself
+    means OOV cannot occur.
+
+    Returns Dataset(doc_id, n_tokens, nll_bp) with nll_bp =
+    floor(avg(-ln p) * 1e4 + 0.5) — integer-rounded so the SQL oracle
+    hash-matches.
+    """
+    import numpy as np
+    import ray
+
+    from .partitioning import bucket_array, default_buckets
+
+    nb = n_buckets or default_buckets()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for text in t.column("text").to_pylist():
+            toks.extend(_WS_RE.split(text.strip()))
+        out = (pa.table({"tok": pa.array(toks, pa.string())})
+               .group_by("tok").aggregate([("tok", "count")]))
+        return out.append_column(
+            "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
+
+    def count_final(g) -> "object":
+        out = g.groupby("tok", as_index=False)["tok_count"].sum()
+        return out.rename(columns={"tok_count": "c"})
+
+    counts = (docs_ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(count_final, batch_format="pandas")
+              .to_pandas())
+    total = float(counts["c"].sum())
+    logp = dict(zip(counts["tok"],
+                    -np.log(counts["c"].to_numpy(np.float64) / total)))
+    ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lp = ray.get(ref)
+        toks: list[str] = []
+        lens: list[int] = []
+        for text in t.column("text").to_pylist():
+            ws = _WS_RE.split(text.strip())
+            toks.extend(ws)
+            lens.append(len(ws))
+        vals = pd.Series(toks, dtype=object).map(lp).to_numpy(np.float64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        sums = np.add.reduceat(vals, offs) if len(vals) else np.array([])
+        n = np.asarray(lens, np.int64)
+        avg = sums / n
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "nll_bp": pa.array(np.floor(avg * 10_000 + 0.5).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
