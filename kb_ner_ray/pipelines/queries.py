@@ -2238,6 +2238,57 @@ GROUP BY doc_id
 """
 
 
+def q_token_postings(sf_dir: str):
+    """Distributed inverted-index build (token -> document frequency +
+    first-10 postings): the corpus-scale materialization of what the
+    in-worker BM25 index (state/bm25.py) holds in memory — i.e. the S5
+    'bulk indexer' seat expressed as a dataflow.  Per-batch distinct
+    (token, doc) pairs -> ONE bucketed token-hash shuffle -> per-token
+    sorted postings.  Output per token is BOUNDED (df + 10 doc ids)."""
+    from ..stages.partitioning import bucket_array, default_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = default_buckets()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        dids: list[int] = []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            ws = set(text.strip().split()) or {""}
+            toks.extend(ws)
+            dids.extend([doc_id] * len(ws))
+        out = pa.table({"tok": pa.array(toks, pa.string()),
+                        "doc_id": pa.array(dids, pa.int64())})
+        return out.append_column(
+            "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tok, grp in g.groupby("tok", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy(np.int64))
+            rows.append((tok, len(ids),
+                         ",".join(str(i) for i in ids[:10])))
+        out = pd.DataFrame(rows, columns=["tok", "df", "postings"])
+        return out.astype({"df": np.int64})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(postings, batch_format="pandas"))
+
+
+SQL_TOKEN_POSTINGS = r"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS postings
+FROM t GROUP BY tok
+"""
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination (train-set hygiene, GPT-3 app. C /
     Gopher style): flag every TRAIN-split doc sharing >= 1 word 8-gram
@@ -2531,6 +2582,7 @@ def queries_registry():
         # these against their oracle):
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
+        "token_postings": q_token_postings,
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2607,6 +2659,7 @@ def oracle_registry():
         "doc_decontaminate": SQL_DECONTAMINATE,
         "events_hopping": SQL_EVENTS_HOPPING,
         "doc_unigram_ppl": SQL_UNIGRAM_PPL,
+        "token_postings": SQL_TOKEN_POSTINGS,
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,

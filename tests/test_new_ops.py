@@ -536,7 +536,7 @@ def test_registry_window_carries_full_signal():
     # overflow list: the window's 50 slots are saturated with flagship +
     # exact entries, and these are still oracle-verified by every
     # tools/check_queries.py run (just not in the driver's record).
-    overflow_ok = {"events_hopping", "doc_unigram_ppl"}
+    overflow_ok = {"events_hopping", "doc_unigram_ppl", "token_postings"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in overflow_ok]
     assert not outside, outside
