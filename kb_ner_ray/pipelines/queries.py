@@ -2214,9 +2214,12 @@ def q_doc_passage_dedup(sf_dir: str):
 
 def q_doc_unigram_ppl(sf_dir: str):
     """CCNet-style LM-quality signal: per-doc average unigram negative
-    log-likelihood under the corpus's own MLE unigram model (two-pass:
-    bucketed token counts -> broadcast log-probs -> vectorized scoring).
-    Integer-rounded (bp) so the SQL oracle hash-matches."""
+    log-likelihood under the corpus's own MLE unigram model with
+    min_count=2 pruning + OOV floor (the KenLM prune-and-smooth; rare
+    tokens score at -ln(pruned_mass/total)).  Two-pass: bucketed token
+    counts -> measured-bytes-gated broadcast (bucketed-join fallback
+    above the gate) -> vectorized scoring.  Integer-rounded (bp) so the
+    SQL oracle hash-matches."""
     from ..stages.textstats import unigram_ppl
 
     return unigram_ppl(_read(sf_dir, "documents",
@@ -2229,10 +2232,14 @@ WITH toks AS (
   FROM documents
 ),
 cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt)
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s,
+               CAST(sum(CASE WHEN c < 2 THEN c ELSE 0 END) AS DOUBLE) AS oov
+        FROM cnt)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(FLOOR(avg(-ln(c / s)) * 10000 + 0.5) AS BIGINT) AS nll_bp
+       CAST(FLOOR(avg(CASE WHEN c >= 2 THEN -ln(c / s)
+                           ELSE -ln(oov / s) END) * 10000 + 0.5)
+            AS BIGINT) AS nll_bp
 FROM toks JOIN cnt USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 """

@@ -160,30 +160,49 @@ def doc_gopher_rules(batch: pa.Table) -> pa.Table:
     })
 
 
-def unigram_ppl(docs_ds, n_buckets: int | None = None):
+def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
+                max_vocab_bytes: int = 1 << 30, plan: str = "auto"):
     """Corpus-trained unigram negative-log-likelihood per document — the
     CCNet-style LM-quality signal (Wenzek et al. 2020 bucket corpora by
     LM perplexity; a unigram model is the dependency-free stand-in, with
-    the same two-pass dataflow a KenLM deployment would use).
+    the same prune-and-smooth a KenLM deployment applies).
 
     Pass 1 (train): token counts via per-batch ``pyarrow.group_by``
-    partials + ONE bucketed shuffle; the resulting vocabulary (zipfian,
-    bounded — the same driver-side bound the canonicalization combine
-    relies on) is collected and broadcast once with MLE log-probs.
-    Pass 2 (score): per-batch vectorized token->logprob map (pandas
-    hash join) + segment sums.  Scoring the training corpus itself
-    means OOV cannot occur.
+    partials + ONE bucketed shuffle.  Tokens with count < ``min_count``
+    are PRUNED inside the reducers — their mass is lumped into one OOV
+    class per bucket (what CCNet/KenLM do: a web-scale corpus has
+    billions of distinct rare tokens, and an unpruned vocabulary grows
+    with the corpus).  Pruned tokens score at the OOV floor
+    ``-ln(oov_mass/total)``.
 
-    Returns Dataset(doc_id, n_tokens, nll_bp) with nll_bp =
+    Pass 2 (score) picks a plan from the MEASURED size of the pruned
+    vocabulary (the decontaminate pattern — never trust "zipfian,
+    bounded" claims, measure):
+
+    - ``broadcast`` (vocab <= ``max_vocab_bytes``): log-probs collected
+      once, ``ray.put``, per-batch vectorized token->logprob map
+      (pandas hash join) + segment sums.  Zero extra shuffles.
+    - ``join`` (vocab over the gate, or forced): the vocabulary never
+      reaches the driver — per-batch (doc_id, tok)->occurrences
+      partials join the count table inside token-hash buckets, then a
+      fixed-width doc_id shuffle sums per-doc partials.  Bounded
+      per-reducer memory (~vocab/n_buckets) at any corpus size.
+
+    ``plan="broadcast"`` forces the broadcast plan and RAISES over the
+    gate instead of falling back (for callers that must not shuffle).
+
+    Both plans return Dataset(doc_id, n_tokens, nll_bp) with nll_bp =
     floor(avg(-ln p) * 1e4 + 0.5) — integer-rounded so the SQL oracle
     hash-matches.
     """
     import numpy as np
+    import pandas as pd
     import ray
 
     from .partitioning import bucket_array, default_buckets
 
     nb = n_buckets or default_buckets()
+    mc = int(min_count)
 
     def count_partial(t: pa.Table) -> pa.Table:
         toks: list[str] = []
@@ -194,22 +213,140 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None):
         return out.append_column(
             "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
 
-    def count_final(g) -> "object":
-        out = g.groupby("tok", as_index=False)["tok_count"].sum()
-        return out.rename(columns={"tok_count": "c"})
+    def count_final(g: pd.DataFrame) -> pa.Table:
+        # Combine partials, then prune: rare-token mass collapses into ONE
+        # null-token OOV row per bucket (null can't collide with a real
+        # token — whitespace split never yields null).
+        out = (g.groupby("tok", as_index=False)["tok_count"].sum()
+               .rename(columns={"tok_count": "c"}))
+        b = int(g["__b"].iloc[0]) if len(g) else 0
+        rare = out["c"].to_numpy(np.int64) < mc
+        kept = out[~rare]
+        toks = kept["tok"].tolist()
+        cs = kept["c"].to_numpy(np.int64).tolist()
+        oov = int(out.loc[rare, "c"].sum())
+        if oov:
+            toks.append(None)
+            cs.append(oov)
+        return pa.table({
+            "tok": pa.array(toks, pa.string()),
+            "c": pa.array(cs, pa.int64()),
+            "__b": pa.array([b] * len(toks), pa.int32()),
+        })
 
-    counts = (docs_ds.map_batches(count_partial, batch_format="pyarrow")
-              .groupby("__b")
-              .map_groups(count_final, batch_format="pandas")
-              .to_pandas())
-    total = float(counts["c"].sum())
-    logp = dict(zip(counts["tok"],
-                    -np.log(counts["c"].to_numpy(np.float64) / total)))
+    counts_ds = (docs_ds.map_batches(count_partial, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(count_final, batch_format="pandas")
+                 .materialize())
+
+    # Tiny scalar pass: corpus token total + pruned (OOV) mass.  One row
+    # per block reaches the driver regardless of vocabulary size.
+    def scalars(t: pa.Table) -> pa.Table:
+        null = pc.is_null(t["tok"])
+        return pa.table({
+            "total": pa.array([pc.sum(t["c"]).as_py() or 0], pa.int64()),
+            "oov": pa.array(
+                [pc.sum(pc.if_else(null, t["c"], pa.scalar(0, pa.int64()))
+                        ).as_py() or 0], pa.int64()),
+        })
+
+    sc = counts_ds.map_batches(scalars, batch_format="pyarrow").to_pandas()
+    total = float(sc["total"].sum())
+    oov_mass = float(sc["oov"].sum())
+    # Unused when oov_mass == 0 (scoring the training corpus, every token
+    # is then in the kept vocab); a real value either way keeps fillna sane.
+    oov_logp = -np.log(oov_mass / total) if oov_mass > 0 else 0.0
+
+    vocab_bytes = counts_ds.size_bytes() or 0
+    if plan == "auto":
+        plan = "broadcast" if vocab_bytes <= max_vocab_bytes else "join"
+    elif plan == "broadcast" and vocab_bytes > max_vocab_bytes:
+        raise ValueError(
+            f"unigram_ppl: pruned vocabulary is {vocab_bytes} bytes "
+            f"(> {max_vocab_bytes}); the broadcast plan would materialize "
+            "it on the driver and every worker - raise min_count, raise "
+            "max_vocab_bytes, or use plan='join'")
+
+    def doc_tok_partial(t: pa.Table) -> pa.Table:
+        # (doc_id, tok) occurrence counts per batch — the probe side of
+        # the bucketed join, pre-aggregated so duplicate tokens within a
+        # doc travel as one row.
+        toks: list[str] = []
+        dids: list[int] = []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            ws = _WS_RE.split(text.strip())
+            toks.extend(ws)
+            dids.extend([doc_id] * len(ws))
+        out = (pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "tok": pa.array(toks, pa.string())})
+               .group_by(["doc_id", "tok"]).aggregate([("tok", "count")]))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "tok": out["tok"],
+            "c": out.column("tok_count").cast(pa.int64()),
+            "__b": pa.array(bucket_array(out["tok"], nb), pa.int32()),
+            "__side": pa.array(np.zeros(len(out), np.int8), pa.int8()),
+        })
+
+    if plan == "join":
+        def tag_build(t: pa.Table) -> pa.Table:
+            mask = pc.is_valid(t["tok"])  # OOV rows score via the floor
+            t = t.filter(mask)
+            return pa.table({
+                "doc_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+                "tok": t["tok"],
+                "c": t["c"],
+                "__b": t["__b"],
+                "__side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            })
+
+        build = counts_ds.map_batches(tag_build, batch_format="pyarrow")
+        probe = docs_ds.map_batches(doc_tok_partial, batch_format="pyarrow")
+
+        def merge(g: pd.DataFrame) -> pa.Table:
+            bld = g[g["__side"] == 1]
+            prb = g[g["__side"] == 0]
+            lp = pd.Series(
+                -np.log(bld["c"].to_numpy(np.float64) / total),
+                index=bld["tok"])
+            vals = prb["tok"].map(lp).fillna(oov_logp).to_numpy(np.float64)
+            occ = prb["c"].to_numpy(np.float64)
+            part = pd.DataFrame({
+                "doc_id": prb["doc_id"].to_numpy(np.int64),
+                "s": vals * occ,
+                "n": prb["c"].to_numpy(np.int64),
+            }).groupby("doc_id", as_index=False).sum()
+            return pa.table({
+                "doc_id": pa.array(part["doc_id"].to_numpy(np.int64)),
+                "s": pa.array(part["s"].to_numpy(np.float64)),
+                "n": pa.array(part["n"].to_numpy(np.int64)),
+            })
+
+        def per_doc(g: pd.DataFrame) -> pa.Table:
+            agg = g.groupby("doc_id", as_index=False).agg(
+                n_tokens=("n", "sum"), s=("s", "sum"))
+            avg = agg["s"].to_numpy(np.float64) / agg["n_tokens"].to_numpy(
+                np.float64)
+            return pa.table({
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+                "nll_bp": pa.array(
+                    np.floor(avg * 10_000 + 0.5).astype(np.int64)),
+            })
+
+        return (probe.union(build)
+                .groupby("__b").map_groups(merge, batch_format="pandas")
+                .groupby("doc_id").map_groups(per_doc, batch_format="pandas"))
+
+    # broadcast plan — the vocab fit under the measured-bytes gate
+    cpdf = counts_ds.to_pandas()
+    kept = cpdf[cpdf["tok"].notna()]
+    logp = dict(zip(kept["tok"],
+                    -np.log(kept["c"].to_numpy(np.float64) / total)))
     ref = ray.put(logp)
 
     def score(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         lp = ray.get(ref)
         toks: list[str] = []
         lens: list[int] = []
@@ -217,7 +354,8 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None):
             ws = _WS_RE.split(text.strip())
             toks.extend(ws)
             lens.append(len(ws))
-        vals = pd.Series(toks, dtype=object).map(lp).to_numpy(np.float64)
+        vals = (pd.Series(toks, dtype=object).map(lp).fillna(oov_logp)
+                .to_numpy(np.float64))
         offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
         sums = np.add.reduceat(vals, offs) if len(vals) else np.array([])
         n = np.asarray(lens, np.int64)

@@ -544,3 +544,54 @@ def test_registry_window_carries_full_signal():
     for n, sql in oracles.items():
         assert n in overflow_ok or sql in in_window_sql, \
             f"oracle for {n!r} never checked"
+
+
+def test_unigram_ppl_join_plan_matches_broadcast(ray_session):
+    """The bucketed-join fallback (vocab over the byte gate) must produce
+    the same (doc_id, n_tokens, nll_bp) as the gated broadcast plan —
+    plan choice is a memory decision, never a semantics one."""
+    from kb_ner_ray.stages.textstats import unigram_ppl
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 30))))
+             for _ in range(50)]
+    # plant singletons so min_count pruning + the OOV floor are exercised
+    texts[0] += " zzunique1"
+    texts[1] += " zzunique2 zzunique2x"
+    docs = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                     "text": texts})
+    a = (unigram_ppl(ray.data.from_arrow(docs), plan="broadcast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (unigram_ppl(ray.data.from_arrow(docs), plan="join")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a[["doc_id", "n_tokens", "nll_bp"]].equals(
+        b[["doc_id", "n_tokens", "nll_bp"]])
+    # pruned singletons exist -> docs holding them score the OOV floor,
+    # which differs from an unpruned model
+    c = (unigram_ppl(ray.data.from_arrow(docs), min_count=1)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert not a["nll_bp"].equals(c["nll_bp"])
+
+
+def test_unigram_ppl_broadcast_gate_raises(ray_session):
+    """plan='broadcast' with an oversized vocabulary must RAISE (the
+    decontaminate-style measured-bytes guard), and plan='auto' must fall
+    back to the join plan instead."""
+    import pytest as _pytest
+
+    from kb_ner_ray.stages.textstats import unigram_ppl
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["a a b b c c", "b b c c d d"],
+    })
+    ds = ray.data.from_arrow(docs)
+    with _pytest.raises(ValueError, match="broadcast plan"):
+        unigram_ppl(ds, plan="broadcast", max_vocab_bytes=1)
+    out = (unigram_ppl(ds, plan="auto", max_vocab_bytes=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (unigram_ppl(ds, plan="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out[["doc_id", "n_tokens", "nll_bp"]].equals(
+        want[["doc_id", "n_tokens", "nll_bp"]])
