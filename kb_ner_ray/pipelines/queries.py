@@ -80,11 +80,40 @@ def _tree_agg(ds, keys: list[str], partial_fn, final_spec: dict):
     (n_blocks x n_groups) rows, so the final combine is a driver-side pandas
     groupby over a tiny frame — no all-to-all shuffle ever touches the full
     data.  ``final_spec``: {partial_col: "sum"}.  Valid ONLY when the group
-    key space is bounded (return flags, priorities, hours, event types);
-    unbounded keys (e.g. order ids) go through the Ray groupby path instead
-    (see q_top_orders)."""
+    key space is FIXED-cardinality (return flags, priorities, nation keys,
+    event types); keys that grow with the data — ids, AND time-derived
+    columns like hour/window_start whose cardinality grows with the
+    stream's span — go through ``_bucketed_agg`` (combiner + bucketed
+    final; driver sees only final rows) or the Ray groupby path (see
+    q_top_orders)."""
     pdf = ds.map_batches(partial_fn, batch_format="pyarrow").to_pandas()
     return pdf.groupby(keys, as_index=False).agg(final_spec)
+
+
+def _bucketed_agg(ds, keys: list[str], partial_fn, final_fn,
+                  n_buckets: int | None = None):
+    """Combiner + bucketed final for group keys of UNBOUNDED cardinality
+    (round-3 verdict: time-derived keys grow with the stream's span, so
+    the `_tree_agg` driver combine is a driver-side materialization at
+    100 TB x multi-year).  Per-batch ``partial_fn`` pre-aggregates inside
+    map_batches (same combiner as `_tree_agg`), then ONE hash(keys)
+    bucket shuffle moves PARTIAL rows only, and ``final_fn`` (pandas
+    bucket group -> pa.Table) combines to FINAL rows inside reducers —
+    the driver never holds the n_blocks x n_groups partial stream.
+    Returns the final-row Dataset (consume by streaming/writing; the
+    correctness harness collects it because results are small)."""
+    from ..stages.partitioning import bucket_multi, default_buckets
+
+    nb = n_buckets or default_buckets()
+
+    def partial_with_bucket(t: pa.Table) -> pa.Table:
+        out = partial_fn(t)
+        b = bucket_multi([out[k] for k in keys], nb)
+        return out.append_column("__b", pa.array(b, pa.int32()))
+
+    return (ds.map_batches(partial_with_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(final_fn, batch_format="pandas"))
 
 
 # ---------- relational core ---------------------------------------------------
@@ -487,7 +516,26 @@ ORDER BY p_retailprice DESC, p_partkey LIMIT 20
 # ---------- events: time windows, sessionization, distinct, as-of, json ------
 
 
+def _window_final(key2: str):
+    """Shared bucketed-final for the time-window aggregates: combine
+    partials to final (n_events, sum_value) rows inside the reducer."""
+    def final(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["event_type", key2], as_index=False).agg(
+            value_sum=("value_sum", "sum"), n_events=("value_count", "sum"))
+        return pa.table({
+            "event_type": pa.array(agg["event_type"].astype(str)),
+            key2: pa.array(agg[key2].to_numpy().astype("datetime64[us]")),
+            "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+            "sum_value": pa.array(_cents(agg["value_sum"])),
+        })
+    return final
+
+
 def q_events_hourly(sf_dir: str):
+    """Tumbling hourly windows: per-batch combiner + ONE hash((type,
+    hour)) bucket shuffle of PARTIAL rows, final combine in reducers —
+    hour cardinality grows with the stream's time span, so the driver
+    must only ever see final rows (round-3 verdict #2)."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -497,11 +545,8 @@ def q_events_hourly(sf_dir: str):
             ["event_type", "hour"]).aggregate(
             [("value", "sum"), ("value", "count")])
 
-    df = _tree_agg(ds, ["event_type", "hour"], partial,
-                   {"value_sum": "sum", "value_count": "sum"})
-    df["sum_value"] = _cents(df["value_sum"])
-    df["n_events"] = df["value_count"].astype(np.int64)
-    return df[["event_type", "hour", "n_events", "sum_value"]]
+    return _bucketed_agg(ds, ["event_type", "hour"], partial,
+                         _window_final("hour"))
 
 
 SQL_EVENTS_HOURLY = """
@@ -513,9 +558,10 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 def q_events_hopping(sf_dir: str):
     """HOPPING (sliding) event-time windows: 1-hour windows every 15
     minutes, so each event lands in 4 overlapping windows.  Per-batch
-    window-key explode (4 fixed offsets) + the same bounded-key combiner
-    plan as events_hourly — the window count is time-range/hop x types,
-    a calendar-bounded key space."""
+    window-key explode (4 fixed offsets) + the same bucketed combiner
+    plan as events_hourly — window_start cardinality grows with the
+    stream's span, so partials combine inside hash((type, window))
+    reducers and only final rows reach the consumer."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     hops = [pa.scalar(15 * k * 60_000_000, pa.duration("us"))
             for k in range(4)]
@@ -532,11 +578,8 @@ def q_events_hopping(sf_dir: str):
             ["event_type", "window_start"]).aggregate(
             [("value", "sum"), ("value", "count")])
 
-    df = _tree_agg(ds, ["event_type", "window_start"], partial,
-                   {"value_sum": "sum", "value_count": "sum"})
-    df["sum_value"] = _cents(df["value_sum"])
-    df["n_events"] = df["value_count"].astype(np.int64)
-    return df[["event_type", "window_start", "n_events", "sum_value"]]
+    return _bucketed_agg(ds, ["event_type", "window_start"], partial,
+                         _window_final("window_start"))
 
 
 SQL_EVENTS_HOPPING = """

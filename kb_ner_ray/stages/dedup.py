@@ -55,27 +55,28 @@ _log = logging.getLogger(__name__)
 # — the triangle self-join decomposition — is now applied to every banded
 # plan: a bucket larger than ``max_group`` emits its MEMBER rows (kind=1)
 # instead of pairs; a second, overflow-only shuffle splits each hot bucket
-# into S*(S+1)/2 sub-groups (S = ceil(size/max_group), so sub-parts stay
-# <= max_group) processed by different reducers.  No pair is ever dropped;
+# into S*(S+1)/2 sub-groups (S = ceil(1.25 * size/max_group); parts come
+# from a hash of doc_id, so a part's size is EXPECTED ~size/S — the 25%
+# fan-out headroom keeps skewed parts near max_group, but the per-reducer
+# bound is probabilistic, not guaranteed) processed by different reducers.  No pair is ever dropped;
 # the per-reducer quadratic is bounded by ~max_group^2; the extra shuffle
 # carries only the hot buckets (empty in the common case, detected on the
 # materialized — bounded, pairs+overflow-sized — pass-1 output).
 
 
-def _tri_part(doc_ids, S: int) -> np.ndarray:
-    """Deterministic triangle part for each doc id (same multiplicative
-    hash as _jaccard_salted_rows, stable across processes)."""
-    ids = np.asarray(doc_ids, dtype=np.int64)
-    return ((ids * 2654435761) % (1 << 32) % S).astype(np.int32)
-
-
-def _tri_grp_key(band_id: int, bkey: str, gi: int, gj: int) -> int:
-    """Shuffle key for one (bucket, triangle-cell) sub-group.  Collisions
-    across buckets are harmless: pass-2 re-groups by (band_id, bkey,
-    gi, gj) inside the reducer."""
-    raw = hashlib.blake2b(f"{band_id}|{bkey}|{gi}|{gj}".encode(),
-                          digest_size=8).digest()
-    return int.from_bytes(raw, "big") >> 1
+def _tri_grp_keys(bkey_hash: np.ndarray, band_ids: np.ndarray,
+                  gi: np.ndarray, gj: np.ndarray) -> np.ndarray:
+    """Vectorized shuffle keys for (bucket, triangle-cell) sub-groups.
+    ``bkey_hash``: per-row uint64 SipHashes of the bucket key (hash the
+    n input rows ONCE, fancy-index through the S-cell fan-out — the
+    object-dtype string hash is the slow path, never run it on the
+    expanded rows).  Collisions across buckets are harmless: pass-2
+    re-groups by (band_id, bkey, gi, gj) inside the reducer."""
+    mixed = (bkey_hash * np.uint64(1000003)
+             + band_ids.astype(np.uint64) * np.uint64(8191)
+             + gi.astype(np.uint64) * np.uint64(131)
+             + gj.astype(np.uint64))
+    return (mixed >> np.uint64(1)).astype(np.int64)
 
 
 def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
@@ -146,7 +147,9 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
                 outs.append(_unified(pair_fn(grp.sort_values("doc_id"), None),
                                      None))
             else:
-                S = -(-len(grp) // max_group)  # ceil
+                # ceil with 25% headroom: parts are hash-assigned, so a
+                # part only has EXPECTED size len/S (round-3 advice)
+                S = -(-(len(grp) * 5) // (4 * max_group))
                 _log.info("banded_pairs_overflow: bucket of %d docs "
                           "redistributed over %d triangle cells (no pairs "
                           "dropped)", len(grp), S * (S + 1) // 2)
@@ -182,23 +185,37 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
 
     def expand(df: pd.DataFrame) -> pa.Table:
         # a member of part p belongs to exactly S of the S*(S+1)/2
-        # triangle cells: (i, p) for i <= p and (p, j) for j > p —
-        # enumerated directly (O(S) per row, not an O(S^2) scan)
-        rows = []
-        for r in df.itertuples(index=False):
-            S = int(r.ovf_s)
-            p = int(_tri_part([r.doc_id], S)[0])
-            payload = [getattr(r, c) for c in payload_cols]
-            cells = [(i, p) for i in range(p + 1)] + \
-                    [(p, j) for j in range(p + 1, S)]
-            for i, j in cells:
-                rows.append((
-                    _tri_grp_key(int(r.band_id), r.bkey, i, j),
-                    int(r.band_id), r.bkey, i, j, p,
-                    int(r.doc_id), *payload))
-        cols = ["tri_grp", "band_id", "bkey", "gi", "gj", "part", "doc_id",
-                *payload_cols]
-        out = pd.DataFrame(rows, columns=cols)
+        # triangle cells: (i, p) for i <= p and (p, j) for j > p — i.e.
+        # within-row cell index k in [0, S) maps to (min(k,p), max(k,p)).
+        # Fully vectorized np.repeat expansion (round-3 verdict #3: the
+        # itertuples loop serialized on a pathological all-in-one-bucket
+        # corpus).
+        S = df["ovf_s"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        n_out = int(S.sum())
+        # deterministic triangle part per doc (same multiplicative hash
+        # as _jaccard_salted_rows, stable across processes)
+        p = (((ids * 2654435761) % (1 << 32)) % np.maximum(S, 1)
+             ).astype(np.int64)
+        rep = np.repeat(np.arange(len(df)), S)
+        starts = np.concatenate([[0], np.cumsum(S)[:-1]]) if len(S) else \
+            np.array([], np.int64)
+        k = np.arange(n_out, dtype=np.int64) - np.repeat(starts, S)
+        p_rep = p[rep]
+        gi = np.minimum(k, p_rep).astype(np.int32)
+        gj = np.maximum(k, p_rep).astype(np.int32)
+        band_rep = df["band_id"].to_numpy(np.int32)[rep]
+        bkeys = df["bkey"].to_numpy(object)
+        bkey_rep = bkeys[rep]
+        hb = pd.util.hash_array(bkeys, categorize=False)[rep]
+        cols = {
+            "tri_grp": _tri_grp_keys(hb, band_rep, gi, gj),
+            "band_id": band_rep, "bkey": bkey_rep, "gi": gi, "gj": gj,
+            "part": p_rep.astype(np.int32), "doc_id": ids[rep],
+        }
+        for c in payload_cols:
+            cols[c] = df[c].to_numpy(object)[rep]
+        out = pd.DataFrame(cols)
         return pa.Table.from_pandas(out, schema=expand_schema,
                                     preserve_index=False)
 

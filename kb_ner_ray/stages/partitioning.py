@@ -80,6 +80,26 @@ class BloomFilter:
         return BloomFilter(self.n_bits, self.bits | other.bits)
 
 
+def bucket_multi(arrays, n_buckets: int) -> np.ndarray:
+    """Deterministic vectorized bucket ids for a COMPOSITE key (several
+    aligned Arrow/numpy columns).  Same cross-process-stable SipHash as
+    ``bucket_array``, combined per column with a polynomial mix; datetime
+    columns hash via their int64 view."""
+    import pandas as pd
+
+    h = None
+    for values in arrays:
+        if hasattr(values, "to_numpy"):
+            arr = values.to_numpy(zero_copy_only=False)
+        else:
+            arr = np.asarray(values)
+        if arr.dtype.kind == "M":
+            arr = arr.view(np.int64)
+        hc = pd.util.hash_array(arr, categorize=False)
+        h = hc if h is None else h * np.uint64(1000003) + hc
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
 def bucket_array(values, n_buckets: int) -> np.ndarray:
     """Deterministic vectorized bucket ids for an Arrow array / ChunkedArray
     / numpy array of ints or strings (pandas' SipHash; stable across
