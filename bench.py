@@ -129,6 +129,27 @@ def _run_bench_once() -> dict:
         rows[name] = _consume(reg[name](SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
+    # Banding diagnostics (untimed; round-3 verdict #8): per-band
+    # candidate-pair volume so band-width tuning is data-driven —
+    # candidates >> verified pairs means the band is too generous for
+    # this corpus's similarity profile.
+    from kb_ner_ray.stages.dedup import (banding_candidate_stats,
+                                         minhash_bands, simhash_bands)
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    band_stats: dict = {}
+    for nm, bands_fn, key in (("simhash", simhash_bands, "band_val"),
+                              ("minhash", minhash_bands, "band_hash")):
+        st = banding_candidate_stats(
+            docs.map_batches(bands_fn, batch_format="pyarrow"), key)
+        band_stats[nm] = {
+            "cand_pairs_per_band": {int(r.band_id): int(r.cand_pairs)
+                                    for r in st.itertuples()},
+            "cand_pairs_total": int(st["cand_pairs"].sum()),
+        }
+    band_stats["simhash"]["verified_pairs"] = rows.get("simhash_dedup")
+
     ray.shutdown()
     return {
         "metric": "kg_triples_pipeline_sec",
@@ -139,6 +160,7 @@ def _run_bench_once() -> dict:
         # round-3 simhash examines the hot buckets round 2 truncated, so
         # its pair count AND wall time both rose)
         "query_rows": rows,
+        "band_stats": band_stats,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_triples": n_triples,

@@ -185,9 +185,36 @@ def extract_text(html_bytes: bytes | str) -> str:
 # end at [.!?。！？] followed by whitespace/EOL; newlines always split.
 _SENT_END_RE = re.compile(r"(?<=[.!?。！？])(?<![A-Z]\.)\s+")
 
+# Optional real-splitter backend (the M2 swap seam, mirroring the T1
+# tokenizer seam in functions/tokenizer.py).  None -> the deterministic
+# regex splitter below.
+_splitter = None
+
+
+def set_splitter_backend(fn) -> None:
+    """Swap the sentence splitter for a real segmenter.
+
+    ``fn(text, lang) -> list[str]``.  The reference loads NLTK punkt per
+    latin language with a spaCy fallback (kb/parse_text.py:17-32);
+    neither package ships in this sandbox, so the seam accepts any
+    callable with that contract — a punkt deployment slots in without
+    touching the pipeline.  Worker processes must call it too (put the
+    call in the actor ``__init__`` of a custom deployment): deliberate
+    per-process opt-in, not ambient state, exactly like
+    ``set_subtoken_backend``."""
+    global _splitter
+    _splitter = fn
+
+
+def reset_splitter_backend() -> None:
+    global _splitter
+    _splitter = None
+
 
 def split_sentences(text: str, lang: str = "en") -> list[str]:
     """Split extracted text into sentences (deterministic, language-aware)."""
+    if _splitter is not None:
+        return _splitter(text, lang)
     out: list[str] = []
     for line in text.split("\n"):
         line = line.strip()

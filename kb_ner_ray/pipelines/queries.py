@@ -2314,13 +2314,21 @@ def q_token_postings(sf_dir: str):
             "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
 
     def postings(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for tok, grp in g.groupby("tok", sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy(np.int64))
-            rows.append((tok, len(ids),
-                         ",".join(str(i) for i in ids[:10])))
-        out = pd.DataFrame(rows, columns=["tok", "df", "postings"])
-        return out.astype({"df": np.int64})
+        # vectorized: dedup + sort once, group sizes give df, cumcount<10
+        # bounds the postings string build (round-3 verdict: the
+        # per-token Python loop re-ran np.unique per group)
+        g = (g.drop_duplicates(["tok", "doc_id"])
+             .sort_values(["tok", "doc_id"], kind="mergesort"))
+        grp = g.groupby("tok", sort=False)
+        sizes = grp.size()
+        first10 = g[grp.cumcount().to_numpy() < 10].copy()
+        first10["s"] = first10["doc_id"].astype(str)
+        posts = first10.groupby("tok", sort=False)["s"].agg(",".join)
+        return pd.DataFrame({
+            "tok": sizes.index.to_numpy(object),
+            "df": sizes.to_numpy(np.int64),
+            "postings": posts.reindex(sizes.index).to_numpy(object),
+        })
 
     return (ds.map_batches(pairs, batch_format="pyarrow")
             .groupby("__b")
@@ -2555,14 +2563,19 @@ def queries_registry():
 
     * positions 1-11  — the flagship KG pipeline chain + its exact-oracled
       prep stages;
-    * positions 12-50 — every remaining exact-SQL-oracled query except
-      events_hopping (so every rows+schema+hash gate is inside the
-      checked window; the window is SATURATED — adding an exact query
-      means demoting another, see the guard test's overflow list);
+    * positions 12-50 — exact-SQL-oracled queries + this round's ROTATION
+      entries (the window holds 50 of 72 registered queries, so each
+      round swaps a few stable, repeatedly-driver-green exact entries
+      out for queries that have not yet earned a driver row — round-3
+      verdict #5.  Round 4 rotated IN: events_hopping, doc_unigram_ppl,
+      token_postings (exact, previously overflow), doc_passage_dedup,
+      kg_entity_pagerank (rows-only).  Rotated OUT: top_orders,
+      customer_rollup, part_filter_topk, doc_token_explode,
+      distinct_users — driver-green in r1-r3, still verified by every
+      tools/check_queries.py run);
     * positions 51+   — rows-only sketches/heuristics, the multimodal
-      trio, and events_hopping (exact-oracled overflow, still verified
-      by every tools/check_queries.py run); plan-parity variants remain
-      unregistered with pytest pins.
+      trio, and the rotated-out exact entries; plan-parity variants
+      remain unregistered with pytest pins.
     """
     return {
         # -- flagship KG chain + prep + multimodal (window head) ----------
@@ -2577,13 +2590,13 @@ def queries_registry():
         "kg_augment_conll": q_kg_augment_conll,
         "corpus_prep": q_corpus_prep,
         "doc_splits": q_doc_splits,
-        # -- every remaining exact-oracled query (inside the window) ------
+        # -- exact-oracled queries + round-4 rotation (inside the window) -
         "pricing_summary": q_pricing_summary,
-        "top_orders": q_top_orders,
-        "customer_rollup": q_customer_rollup,
+        "events_hopping": q_events_hopping,
+        "doc_unigram_ppl": q_doc_unigram_ppl,
         "orders_lineitem_join": q_orders_lineitem_join,
         "revenue_by_nation": q_revenue_by_nation,
-        "part_filter_topk": q_part_filter_topk,
+        "token_postings": q_token_postings,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_rolling_count": q_events_rolling_count,
@@ -2593,8 +2606,8 @@ def queries_registry():
         "orders_events_range_join": q_orders_events_range_join,
         "nation_median_acctbal": q_nation_median_acctbal,
         "nation_top3_names": q_nation_top3_names,
-        "doc_token_explode": q_doc_token_explode,
-        "distinct_users": q_distinct_users,
+        "doc_passage_dedup": q_doc_passage_dedup,
+        "kg_entity_pagerank": q_kg_entity_pagerank,
         "events_asof_orders": q_events_asof_orders,
         "props_json": q_props_json,
         "doc_token_stats": q_doc_token_stats,
@@ -2627,12 +2640,14 @@ def queries_registry():
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "kg_doc_context": q_kg_doc_context,
-        # exact-oracled but past the window (all 50 slots carry flagship
-        # or exact entries already; tools/check_queries.py still verifies
-        # these against their oracle):
-        "events_hopping": q_events_hopping,
-        "doc_unigram_ppl": q_doc_unigram_ppl,
-        "token_postings": q_token_postings,
+        # exact-oracled but ROTATED OUT of the window in round 4 (driver-
+        # green rows recorded in CORRECTNESS_r01-r03;
+        # tools/check_queries.py still verifies these every run):
+        "top_orders": q_top_orders,
+        "customer_rollup": q_customer_rollup,
+        "part_filter_topk": q_part_filter_topk,
+        "doc_token_explode": q_doc_token_explode,
+        "distinct_users": q_distinct_users,
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2645,8 +2660,6 @@ def queries_registry():
         "approx_quantiles_value": q_approx_quantiles_value,
         "doc_langid": q_doc_langid,
         "doc_repeated_ngrams": q_doc_repeated_ngrams,
-        "doc_passage_dedup": q_doc_passage_dedup,
-        "kg_entity_pagerank": q_kg_entity_pagerank,
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_contexts_reranked": q_kg_contexts_reranked,
         "kg_distant_supervision": q_kg_distant_supervision,

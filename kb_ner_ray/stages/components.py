@@ -288,11 +288,21 @@ def near_dup_keep(docs_ds, pairs_ds, id_col: str = "doc_id",
     tagged = (docs_ds.map_batches(widen_docs, batch_format="pyarrow")
               .union(comps.map_batches(drops, batch_format="pyarrow")))
 
+    # the R (drop-set) rows carry nulls in every non-id column, so the
+    # pandas conversion widens EVERY integer doc column to float64 —
+    # restore exact dtypes after the L-only filter (round-3 advice:
+    # only id_col was cast back; an int64 n_chars came out float64,
+    # lossy above 2^53)
+    int_cols = {c: t.to_pandas_dtype() for c, t in doc_types.items()
+                if pa.types.is_integer(t)}
+
     def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "L"]
         dropped = g.loc[g["__side"] == "R", id_col].unique()
         out = lg.loc[~lg[id_col].isin(dropped), doc_cols].copy()
-        out[id_col] = out[id_col].astype(np.int64)
+        for c, dt in int_cols.items():
+            if out[c].notna().all():  # pre-existing nulls stay float
+                out[c] = out[c].astype(dt)
         return out
 
     return tagged.groupby("__b").map_groups(filter_bucket,

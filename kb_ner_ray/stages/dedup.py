@@ -243,6 +243,50 @@ def banded_pairs_overflow(rows_ds, *, key_col: str, payload_cols: list[str],
               .map_groups(pass2, batch_format="pandas"))
     return pairs.union(pairs2)
 
+def banding_candidate_stats(rows_ds, key_col: str):
+    """Per-band candidate-pair volume of a banding scheme — the tuning
+    signal for band width (round-3 verdict #8: 195k simhash pairs from
+    12k docs said the 4x16-bit banding is generous on the synthetic
+    corpus; this makes that visible per band BEFORE a 100-TB run).
+
+    For each ``band_id``: rows, distinct buckets, and the in-bucket
+    candidate-pair count sum_buckets C(size, 2).  One bucketed shuffle
+    of per-batch (band, key) COUNT partials (text never moves); band_id
+    is a small fixed space, so per-bucket partial rows combine
+    driver-side.  Returns pandas (band_id, n_rows, n_buckets,
+    cand_pairs) sorted by band_id."""
+    from .partitioning import bucket_multi, default_buckets
+
+    nb = default_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (t.select(["band_id", key_col])
+               .group_by(["band_id", key_col])
+               .aggregate([("band_id", "count")]))
+        b = bucket_multi([out["band_id"], out[key_col]], nb)
+        return out.append_column("__b", pa.array(b, pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby(["band_id", key_col], as_index=False)
+               ["band_id_count"].sum())
+        n = cnt["band_id_count"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "band_id": cnt["band_id"].to_numpy(np.int32),
+            "n_rows": n,
+            "n_buckets": np.ones(len(cnt), np.int64),
+            "cand_pairs": n * (n - 1) // 2,
+        })
+        return out.groupby("band_id", as_index=False).sum()
+
+    pdf = (rows_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("__b").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    if not len(pdf):
+        return pdf
+    return (pdf.groupby("band_id", as_index=False).sum()
+            .sort_values("band_id").reset_index(drop=True))
+
+
 # ---- exact dedup ------------------------------------------------------------
 
 

@@ -77,17 +77,23 @@ def test_components_randomized_parity(ray_session):
 
 
 def test_near_dup_keep_planted(ray_session):
+    big = (1 << 55) + 1  # above float64's 2^53 integer precision
     docs = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(list(range(10)), pa.int64()),
         "text": pa.array([f"doc {i}" for i in range(10)], pa.string()),
+        "n_chars": pa.array([big + i for i in range(10)], pa.int64()),
     }))
     pairs = _pairs_ds([(1, 2), (2, 3), (5, 6)])
     kept = (near_dup_keep(docs, pairs, n_buckets=4).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     # components {1,2,3} -> keep 1, {5,6} -> keep 5; others untouched
     assert kept["doc_id"].tolist() == [0, 1, 4, 5, 7, 8, 9]
-    assert list(kept.columns) == ["doc_id", "text"]
+    assert list(kept.columns) == ["doc_id", "text", "n_chars"]
     assert kept.loc[kept["doc_id"] == 5, "text"].iloc[0] == "doc 5"
+    # EVERY integer column keeps its dtype + exact value through the
+    # null-widened anti-join (round-3 advice: n_chars came out float64)
+    assert kept["n_chars"].dtype == np.int64
+    assert kept.loc[kept["doc_id"] == 9, "n_chars"].iloc[0] == big + 9
 
 
 def _pagerank_reference(edges, n_iters=10, d=0.85):

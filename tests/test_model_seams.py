@@ -214,3 +214,80 @@ def test_cross_encoder_scorer_seam_accepts_custom_callable():
     assert out[0]["rank"] == 0 and out[0]["kb_id"] == 2  # longest sentence
     scores = [r["rerank_score"] for r in sorted(out, key=lambda r: r["rank"])]
     assert scores == sorted(scores, reverse=True)
+
+
+# Fixed probe set for the reranker scorer seam: (query, candidates) in the
+# retrieval shape (kb sentences rescored against the query sentence).
+SCORER_PROBES = [
+    ("Nairobi is the capital of Kenya",
+     ["Nairobi is Kenya's capital and largest city",
+      "The capital of France is Paris",
+      "Mount Kenya is the highest mountain in Kenya"]),
+    ("the quick brown fox",
+     ["a quick brown dog", "the quick brown fox", "unrelated text entirely"]),
+]
+
+
+@pytest.mark.skipif(not HAVE_TRANSFORMERS, reason="transformers not in sandbox")
+def test_cross_encoder_scorer_golden_scores():
+    """Recorded-golden conformance for the THIRD real-model seam (round-3
+    verdict #4: tokenizer and viterbi-logit seams had recorded goldens,
+    the reranker scorer did not).  Builds the reference-shaped BERTScore
+    scorer (tools/bert_scoring.py scores candidates with bert_score F1;
+    here: xlm-roberta last-layer greedy token-cosine F1 — the same
+    matching scheme) and pins its scores on a fixed probe set.  First
+    real-env run records tests/golden/xlmr_bertscore_scores.json; later
+    runs assert 1e-3 closeness, so a silent model/normalization change
+    fails loudly instead of silently reordering contexts.  The scored
+    ranking must also drive RerankedRetriever through the scorer seam."""
+    import pyarrow as pa
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    from kb_ner_ray.stages.reranker import RerankedRetriever
+
+    tok = AutoTokenizer.from_pretrained("xlm-roberta-base")
+    model = AutoModel.from_pretrained("xlm-roberta-base")
+    model.eval()
+
+    @torch.no_grad()
+    def embed(text: str) -> "torch.Tensor":
+        enc = tok(text, return_tensors="pt", truncation=True, max_length=256)
+        h = model(**enc).last_hidden_state[0, 1:-1]  # drop BOS/EOS
+        return torch.nn.functional.normalize(h, dim=-1)
+
+    def bertscore_f1(query: str, cands: list[str]) -> list[float]:
+        q = embed(query)
+        out = []
+        for cand in cands:
+            c = embed(" ".join(cand.split()[:200]))  # reference truncation
+            sim = q @ c.T
+            r = sim.max(dim=1).values.mean().item()  # recall: query side
+            p = sim.max(dim=0).values.mean().item()  # precision: cand side
+            out.append(2 * p * r / (p + r) if p + r else 0.0)
+        return out
+
+    scores = {q: [round(s, 6) for s in bertscore_f1(q, cands)]
+              for q, cands in SCORER_PROBES}
+
+    golden_path = GOLDEN_DIR / "xlmr_bertscore_scores.json"
+    if not golden_path.exists():
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        golden_path.write_text(json.dumps(scores, indent=2,
+                                          ensure_ascii=False))
+        pytest.skip(f"golden recorded at {golden_path}; re-run to assert")
+    golden = json.loads(golden_path.read_text())
+    assert golden.keys() == scores.keys()
+    for q in golden:
+        assert np.allclose(golden[q], scores[q], atol=1e-3), q
+
+    # the real scorer must drive the actor's ranking end-to-end
+    q0, cands0 = SCORER_PROBES[0]
+    kb = [{"kb_id": i + 1, "sentence": c, "title": f"t{i}", "lang": "en"}
+          for i, c in enumerate(cands0)]
+    rr = RerankedRetriever(kb, k=3, fetch_k=3, scorer=bertscore_f1)
+    out = rr(pa.table({"url": pa.array(["u"], pa.string()),
+                       "sent_id": pa.array([0], pa.int32()),
+                       "text": pa.array([q0], pa.string())})).to_pylist()
+    got = [r["rerank_score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == sorted(got, reverse=True)

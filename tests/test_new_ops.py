@@ -533,16 +533,23 @@ def test_registry_window_carries_full_signal():
     assert flagship <= window, flagship - window
     oracles = oracle_registry()
     # Oracled queries sit inside the checked window, except the explicit
-    # overflow list: the window's 50 slots are saturated with flagship +
-    # exact entries, and these are still oracle-verified by every
-    # tools/check_queries.py run (just not in the driver's record).
-    overflow_ok = {"events_hopping", "doc_unigram_ppl", "token_postings"}
+    # ROTATION list (round-3 verdict #5): the window's 50 slots are
+    # saturated, so each round swaps a few repeatedly-driver-green exact
+    # entries out for queries that haven't earned a driver row yet.
+    # Rotated-out entries are still oracle-verified by every
+    # tools/check_queries.py run (just not in that round's driver record).
+    rotated_out = {"top_orders", "customer_rollup", "part_filter_topk",
+                   "doc_token_explode", "distinct_users"}
     outside = [n for i, n in enumerate(names)
-               if i >= 50 and n in oracles and n not in overflow_ok]
+               if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
+    # round-4 rotation targets actually sit INSIDE the window
+    rotated_in = {"events_hopping", "doc_unigram_ppl", "token_postings",
+                  "doc_passage_dedup", "kg_entity_pagerank"}
+    assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
-        assert n in overflow_ok or sql in in_window_sql, \
+        assert n in rotated_out or sql in in_window_sql, \
             f"oracle for {n!r} never checked"
 
 
@@ -595,3 +602,24 @@ def test_unigram_ppl_broadcast_gate_raises(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out[["doc_id", "n_tokens", "nll_bp"]].equals(
         want[["doc_id", "n_tokens", "nll_bp"]])
+
+
+def test_banding_candidate_stats_planted(ray_session):
+    """Per-band candidate volumes on a hand-checkable banding: band 0 has
+    buckets {k1: 3 docs, k2: 2 docs} -> C(3,2)+C(2,2) = 4 pairs; band 1
+    has one 4-doc bucket -> 6 pairs."""
+    import pandas as pd
+
+    from kb_ner_ray.stages.dedup import banding_candidate_stats
+
+    rows = pa.table({
+        "band_id": pa.array([0, 0, 0, 0, 0, 1, 1, 1, 1], pa.int32()),
+        "band_val": pa.array(["k1", "k1", "k1", "k2", "k2",
+                              "q", "q", "q", "q"], pa.string()),
+        "doc_id": pa.array(list(range(9)), pa.int64()),
+    })
+    st = banding_candidate_stats(ray.data.from_arrow(rows), "band_val")
+    assert st["band_id"].tolist() == [0, 1]
+    assert st["cand_pairs"].tolist() == [4, 6]
+    assert st["n_buckets"].tolist() == [2, 1]
+    assert st["n_rows"].tolist() == [5, 4]

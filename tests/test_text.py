@@ -132,3 +132,32 @@ def test_subtoken_backend_swap():
 
     with _pytest.raises(ImportError):
         set_subtoken_backend("xlm-roberta-large")  # transformers absent
+
+
+def test_splitter_backend_seam():
+    """The M2 swap seam (round-3 verdict #6): a punkt/spaCy deployment
+    plugs in via set_splitter_backend without touching the pipeline;
+    reset restores the pinned regex semantics."""
+    from kb_ner_ray.functions.text import (reset_splitter_backend,
+                                           set_splitter_backend)
+
+    calls = []
+
+    def fake_punkt(text, lang):
+        calls.append((text, lang))
+        return ["WHOLE:" + text.replace("\n", " ")]
+
+    set_splitter_backend(fake_punkt)
+    try:
+        assert split_sentences("One . Two !", lang="de") == \
+            ["WHOLE:One . Two !"]
+        assert calls == [("One . Two !", "de")]
+    finally:
+        reset_splitter_backend()
+    # pinned regex goldens restored (same inputs as the basic tests,
+    # plus the abbreviation/ellipsis cases a punkt deployment would
+    # handle differently - these pin the CURRENT default semantics)
+    assert split_sentences("One . Two !") == ["One .", "Two !"]
+    assert split_sentences("Dr. Smith arrived .") == \
+        ["Dr.", "Smith arrived ."]
+    assert split_sentences("Wait... what ?") == ["Wait...", "what ?"]
