@@ -2347,6 +2347,75 @@ FROM t GROUP BY tok
 """
 
 
+N_BM25_QUERIES = 8
+BM25_QUERY_TOKENS = 6
+BM25_TOPK = 10
+
+
+def q_bm25_search(sf_dir: str):
+    """Corpus-scale sparse BM25 retrieval (stages/sparse.py): the S5/T4
+    retrieval seat with the sides inverted — a SMALL query workload (the
+    8 smallest doc_ids' first 6 tokens) searched against the FULL corpus,
+    which is too big to broadcast.  Query terms ship once via ray.put;
+    the corpus streams twice (bounded df/avgdl partials, then in-batch
+    scoring + per-batch top-k) with ZERO shuffles.  Output is rank-only
+    (qid, doc_id, rank) with scores quantized to int64 basis points
+    before ranking, per the repo float policy."""
+    from ..stages.sparse import bm25_search_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def smallest(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(df.nsmallest(N_BM25_QUERIES, "doc_id"),
+                                    preserve_index=False)
+
+    qdocs = (ds.map_batches(smallest, batch_format="pyarrow").to_pandas()
+             .nsmallest(N_BM25_QUERIES, "doc_id"))
+    queries = {int(r.doc_id): (r.text.strip().split()[:BM25_QUERY_TOKENS]
+                               or [""])
+               for r in qdocs.itertuples()}
+    return bm25_search_corpus(ds, queries, k=BM25_TOPK)
+
+
+SQL_BM25_SEARCH = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+qdoc AS (SELECT doc_id AS qid, trim(text) AS qt FROM documents
+         ORDER BY doc_id LIMIT {N_BM25_QUERIES}),
+qterm AS (SELECT DISTINCT qid,
+                 unnest((regexp_split_to_array(qt, '\s+'))
+                        [1:{BM25_QUERY_TOKENS}]) AS tok
+          FROM qdoc),
+dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf
+        WHERE tok IN (SELECT tok FROM qterm) GROUP BY tok),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) ) AS score
+  FROM qterm q
+  JOIN tf ON tf.tok = q.tok
+  JOIN dfq d ON d.tok = q.tok
+  JOIN dl l ON l.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id)
+SELECT qid, doc_id, rank FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(floor(score * 10000 + 0.5) AS BIGINT) DESC, doc_id
+         ) AS rank
+  FROM scored)
+WHERE rank <= {BM25_TOPK}
+"""
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination (train-set hygiene, GPT-3 app. C /
     Gopher style): flag every TRAIN-split doc sharing >= 1 word 8-gram
@@ -2621,7 +2690,7 @@ def queries_registry():
         "customers_with_orders": q_customers_with_orders,
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
         "events_topn_per_type": q_events_topn_per_type,
-        "nation_acctbal_minmax": q_nation_acctbal_minmax,
+        "bm25_search": q_bm25_search,
         "union_sample": q_union_sample,
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
@@ -2648,6 +2717,8 @@ def queries_registry():
         "part_filter_topk": q_part_filter_topk,
         "doc_token_explode": q_doc_token_explode,
         "distinct_users": q_distinct_users,
+        "nation_acctbal_minmax": q_nation_acctbal_minmax,  # displaced by
+        # the round-4-new bm25_search (exact, needs its first driver row)
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2712,6 +2783,7 @@ def oracle_registry():
         "customers_no_urgent_orders": SQL_ANTI_JOIN,
         "events_topn_per_type": SQL_TOPN_PER_GROUP,
         "nation_acctbal_minmax": SQL_MINMAX,
+        "bm25_search": SQL_BM25_SEARCH,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,

@@ -1,0 +1,86 @@
+"""Corpus-scale sparse BM25 retrieval (stages/sparse.py): planted-corpus
+ranking checks + randomized parity against a straight-line Python BM25."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from kb_ner_ray.stages.sparse import (bm25_search_corpus, corpus_bm25_stats)
+
+
+def _docs_ds(texts, n_blocks=3):
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    return ray.data.from_arrow(t).repartition(n_blocks)
+
+
+def _brute_bm25(texts, queries, k=10, k1=1.2, b=0.75):
+    """Straight-line oracle: whitespace tokens, empty text -> [''],
+    query as a term set, quantized (score desc, doc_id asc) ranking."""
+    toks = [(t.strip().split() or [""]) for t in texts]
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks) / max(n, 1)
+    out = []
+    for qid, qtoks in queries.items():
+        scored = []
+        for d, ts in enumerate(toks):
+            s = 0.0
+            for term in set(qtoks):
+                tf = ts.count(term)
+                if not tf:
+                    continue
+                df = sum(term in set(x) for x in toks)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(ts) / avgdl))
+            if s > 0 or any(term in ts for term in set(qtoks)):
+                scored.append((d, int(np.floor(s * 10_000 + 0.5))))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        out.extend((qid, d, r + 1) for r, (d, _) in enumerate(scored[:k]))
+    return sorted(out)
+
+
+def test_bm25_stats_bounded_partials(ray_session):
+    ds = _docs_ds(["a b c", "a a d", "", "b b b b"])
+    n, avgdl, df = corpus_bm25_stats(ds, ["a", "b", "zz"])
+    assert n == 4
+    # dl: 3, 3, 1 (empty -> one '' token), 4 -> avg 11/4
+    assert avgdl == 11 / 4
+    got = df.set_index("tok")["df"].to_dict()
+    assert got == {"a": 2, "b": 2}  # 'zz' absent from the corpus
+
+
+def test_bm25_search_planted(ray_session):
+    """Term 'x' is rarest -> doc containing it most densely wins."""
+    texts = ["x y", "x x x y y y", "y y y y", "z z", "x"]
+    ds = _docs_ds(texts)
+    got = bm25_search_corpus(ds, {7: ["x"]}, k=3)
+    # df(x)=3; shortest pure-x doc (doc 4, dl=1) beats doc 1 (tf=3, dl=6)
+    # and doc 0 (tf=1, dl=2) under length normalization.
+    assert got["qid"].tolist() == [7, 7, 7]
+    assert got["doc_id"].tolist()[0] == 4
+    assert set(got["doc_id"]) == {0, 1, 4}
+    assert got["rank"].tolist() == [1, 2, 3]
+
+
+def test_bm25_search_randomized_parity(ray_session):
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+             for _ in range(60)] + ["", "   "]
+    queries = {100: list(rng.choice(vocab, size=4)),
+               200: list(rng.choice(vocab, size=2)) + ["missing"],
+               300: ["missing", "also_missing"]}
+    got = bm25_search_corpus(_docs_ds(texts, n_blocks=5), queries, k=7)
+    want = _brute_bm25(texts, queries, k=7)
+    assert sorted(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_bm25_search_empty_corpus_and_no_hits(ray_session):
+    got = bm25_search_corpus(_docs_ds(["a b", "c d"]), {1: ["zzz"]}, k=5)
+    assert len(got) == 0
+    assert list(got.columns) == ["qid", "doc_id", "rank"]
