@@ -2288,6 +2288,54 @@ GROUP BY doc_id
 """
 
 
+def q_doc_quality_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus partitioning (Wenzek et al. 2020
+    §4.4): per-doc unigram NLL (the doc_unigram_ppl dataflow) bucketed by
+    EXACT tertile cutoffs found with distributed histogram-refinement
+    selection (stages/selection.py) — the driver only ever holds bin
+    counts, never values.  Assignment is value-based (nll <= cutoff), so
+    ties land deterministically in the better bucket on both engines."""
+    from ..stages.selection import quality_buckets
+    from ..stages.textstats import unigram_ppl
+
+    ppl = unigram_ppl(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"]))
+    return quality_buckets(ppl, "nll_bp")
+
+
+SQL_QUALITY_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s,
+               CAST(sum(CASE WHEN c < 2 THEN c ELSE 0 END) AS DOUBLE) AS oov
+        FROM cnt),
+ppl AS (
+  SELECT doc_id,
+         CAST(FLOOR(avg(CASE WHEN c >= 2 THEN -ln(c / s)
+                             ELSE -ln(oov / s) END) * 10000 + 0.5)
+              AS BIGINT) AS nll_bp
+  FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+  GROUP BY doc_id),
+ranked AS (SELECT nll_bp, row_number() OVER (ORDER BY nll_bp) AS rn,
+                  count(*) OVER () AS n
+           FROM ppl),
+cuts AS (SELECT
+           max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+               THEN nll_bp END) AS c1,
+           max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+               THEN nll_bp END) AS c2
+         FROM ranked)
+SELECT doc_id, nll_bp,
+       CASE WHEN nll_bp <= c1 THEN 'head'
+            WHEN nll_bp <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl CROSS JOIN cuts
+"""
+
+
 def q_token_postings(sf_dir: str):
     """Distributed inverted-index build (token -> document frequency +
     first-10 postings): the corpus-scale materialization of what the
@@ -2674,7 +2722,7 @@ def queries_registry():
         "events_pivot": q_events_pivot,
         "orders_events_range_join": q_orders_events_range_join,
         "nation_median_acctbal": q_nation_median_acctbal,
-        "nation_top3_names": q_nation_top3_names,
+        "doc_quality_buckets": q_doc_quality_buckets,
         "doc_passage_dedup": q_doc_passage_dedup,
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "events_asof_orders": q_events_asof_orders,
@@ -2719,6 +2767,8 @@ def queries_registry():
         "distinct_users": q_distinct_users,
         "nation_acctbal_minmax": q_nation_acctbal_minmax,  # displaced by
         # the round-4-new bm25_search (exact, needs its first driver row)
+        "nation_top3_names": q_nation_top3_names,  # displaced by the
+        # round-4-new doc_quality_buckets (exact, needs a driver row)
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2784,6 +2834,7 @@ def oracle_registry():
         "events_topn_per_type": SQL_TOPN_PER_GROUP,
         "nation_acctbal_minmax": SQL_MINMAX,
         "bm25_search": SQL_BM25_SEARCH,
+        "doc_quality_buckets": SQL_QUALITY_BUCKETS,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,
