@@ -2202,6 +2202,21 @@ def q_kg_ensemble(sf_dir: str):
         sentences_dataset(corpus, with_retrieval=False), gaz_ref, n_models=3)
 
 
+def q_kg_ensemble_multirun(sf_dir: str):
+    """Multi-checkpoint ensemble ORCHESTRATION (the reference's 14-model
+    sweep, ensemble_prediction.py:462-505): each stand-in checkpoint runs
+    as its own actor-pool pass and persists predictions to a resumable
+    manifest-tracked sink under /tmp, then the vote reads all runs back.
+    Must equal the fused kg_ensemble exactly (pinned in pytest)."""
+    import os as _os
+
+    from ..pipelines.ensemble_runs import run_ensemble
+
+    corpus = _corpus(sf_dir)
+    out = _os.path.join("/tmp/kbner_multirun", _os.path.basename(corpus))
+    return run_ensemble(corpus, out, n_models=3)
+
+
 def q_kg_distant_supervision(sf_dir: str):
     """M18 seat: project detected surfaces onto retrieved KB contexts."""
     from ..pipelines.kg import load_corpus_refs, sentences_dataset
@@ -2784,6 +2799,8 @@ def queries_registry():
         "kg_contexts_entity": q_kg_contexts_entity,
         "kg_contexts_reranked": q_kg_contexts_reranked,
         "kg_distant_supervision": q_kg_distant_supervision,
+        "kg_ensemble_multirun": q_kg_ensemble_multirun,  # rows-only;
+        # pinned == fused kg_ensemble by test_ensemble_runs
         # The plan-parity duplicates (minhash_dedup_join,
         # ngram_jaccard_salted, {orders_lineitem,revenue_by_nation,
         # events_asof,customers_semi,customers_anti}_bucketed) are NOT

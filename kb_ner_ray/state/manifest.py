@@ -118,6 +118,39 @@ def write_partition_streamed(out_dir: str, part_id: int, ds,
     return counters
 
 
+def write_partition_ds(out_dir: str, part_id: int, ds,
+                       fingerprint: str,
+                       counters: dict | None = None) -> dict:
+    """Generic atomic STREAMING partition write (schema-agnostic sibling of
+    ``write_partition_streamed``, which recovers triple-specific counters):
+    blocks land in the tmp dir via ``ds.write_parquet`` (never through the
+    driver), n_rows comes from parquet footers, then manifest + rename."""
+    import glob as _glob
+    import shutil
+
+    final = os.path.join(out_dir, f"part={part_id:04d}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    files = sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    counters = dict(counters or {}, n_rows=n_rows)
+    manifest = {
+        "partition": part_id,
+        "input_fingerprint": fingerprint,
+        "n_rows": n_rows,
+        "counters": counters,
+        "schema_version": SCHEMA_VERSION,
+    }
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return counters
+
+
 def read_manifests(out_dir: str) -> list[dict]:
     out = []
     if not os.path.isdir(out_dir):
