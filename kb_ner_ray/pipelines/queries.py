@@ -2410,6 +2410,48 @@ FROM t GROUP BY tok
 """
 
 
+PMI_WINDOW = 3
+PMI_MIN_PAIR = 5
+
+
+def q_doc_pmi(sf_dir: str):
+    """Windowed token co-occurrence + PMI (stages/cooccur.py): association
+    mining over the corpus — pair counts pre-aggregated per batch, ONE
+    bucketed pair-hash shuffle, min-support pruning inside the reducers,
+    survivor-vocabulary byte-gated broadcast for the unigram counts.
+    PMI quantized to int64 basis points (repo float policy)."""
+    from ..stages.cooccur import windowed_pmi
+
+    return windowed_pmi(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]),
+                        window=PMI_WINDOW, min_pair=PMI_MIN_PAIR)
+
+
+SQL_DOC_PMI = rf"""
+WITH arrs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents),
+toks AS (SELECT doc_id, i AS pos, arr[i] AS tok
+         FROM arrs, unnest(generate_series(1, array_length(arr))) AS g(i)),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+pairs AS (SELECT least(t1.tok, t2.tok) AS tok_a,
+                 greatest(t1.tok, t2.tok) AS tok_b
+          FROM toks t1 JOIN toks t2
+            ON t1.doc_id = t2.doc_id
+           AND t2.pos > t1.pos AND t2.pos <= t1.pos + {PMI_WINDOW}),
+ptot AS (SELECT CAST(count(*) AS DOUBLE) AS p FROM pairs),
+pcnt AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM pairs
+         GROUP BY tok_a, tok_b HAVING count(*) >= {PMI_MIN_PAIR}),
+uc AS (SELECT tok, CAST(count(*) AS DOUBLE) AS n FROM toks GROUP BY tok)
+SELECT pcnt.tok_a, pcnt.tok_b, CAST(pcnt.n_ab AS BIGINT) AS n_ab,
+       CAST(FLOOR(ln(pcnt.n_ab * tot.t * tot.t / (ptot.p * ua.n * ub.n))
+                  * 10000 + 0.5) AS BIGINT) AS pmi_bp
+FROM pcnt
+JOIN uc ua ON ua.tok = pcnt.tok_a
+JOIN uc ub ON ub.tok = pcnt.tok_b
+CROSS JOIN tot CROSS JOIN ptot
+"""
+
+
 N_BM25_QUERIES = 8
 BM25_QUERY_TOKENS = 6
 BM25_TOPK = 10
@@ -2741,7 +2783,7 @@ def queries_registry():
         "doc_passage_dedup": q_doc_passage_dedup,
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "events_asof_orders": q_events_asof_orders,
-        "props_json": q_props_json,
+        "doc_pmi": q_doc_pmi,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_quality": q_doc_quality,
@@ -2784,6 +2826,8 @@ def queries_registry():
         # the round-4-new bm25_search (exact, needs its first driver row)
         "nation_top3_names": q_nation_top3_names,  # displaced by the
         # round-4-new doc_quality_buckets (exact, needs a driver row)
+        "props_json": q_props_json,  # displaced by the round-4-new
+        # doc_pmi (exact, needs a driver row)
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2852,6 +2896,7 @@ def oracle_registry():
         "nation_acctbal_minmax": SQL_MINMAX,
         "bm25_search": SQL_BM25_SEARCH,
         "doc_quality_buckets": SQL_QUALITY_BUCKETS,
+        "doc_pmi": SQL_DOC_PMI,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,
