@@ -41,6 +41,10 @@ SIDE_QUERIES = [
     "source_stats_salted",
     "doc_passage_dedup",
     "doc_decontaminate",
+    # round-4 operators
+    "bm25_search",
+    "doc_quality_buckets",
+    "doc_pmi",
 ]
 
 

@@ -217,6 +217,37 @@ def _stage_quality_filter(ds, ctx, **_):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+@register("quality_buckets")
+def _stage_quality_buckets(ds, ctx, keep: str = ""):
+    """CCNet head/middle/tail partitioning by exact perplexity tertiles
+    (stages/selection.py).  With ``keep`` set (e.g. "head" or
+    "head,middle") the stage FILTERS the doc stream to those buckets —
+    the CCNet use: train on the head; otherwise it returns the labeled
+    (doc_id, nll_bp, bucket) table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.selection import quality_buckets
+    from ..stages.textstats import unigram_ppl
+
+    labeled = quality_buckets(unigram_ppl(ds.select_columns(
+        ["doc_id", "text"])), "nll_bp")
+    if not keep:
+        return labeled
+    wanted = pa.array([s.strip() for s in keep.split(",") if s.strip()],
+                      pa.string())
+
+    def in_buckets(t):
+        return t.filter(pc.is_in(t["bucket"], value_set=wanted))
+
+    good = labeled.map_batches(in_buckets, batch_format="pyarrow")
+    # the kept-id set grows WITH the corpus (it is ~|corpus|*2/3 ids), so
+    # it must not be broadcast: bucketed semi-join on doc_id instead
+    from ..stages.joins import semi_join
+
+    return semi_join(ds, good.select_columns(["doc_id"]), on="doc_id")
+
+
 @register("passage_dedup")
 def _stage_passage_dedup(ds, ctx, n: int = 10, min_docs: int = 2):
     """ExactSubstr apply: cut non-canonical repeated-passage occurrences

@@ -153,3 +153,38 @@ def test_config_corpus_ops_stages(ray_session, tmp_path):
     kept = build_pipeline(cfg2).to_pandas()
     assert 0 in set(kept["doc_id"])  # min-id member always survives
     assert len(kept) < 3             # at least one near-dup dropped
+
+
+def test_config_quality_buckets_stage(ray_session, tmp_path):
+    """quality_buckets labels docs by exact perplexity tertiles; with
+    keep= it semi-join-filters the doc stream to those buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 9 docs: common tokens -> low nll (head), rare tokens -> high (tail)
+    texts = (["common words shared " * 3] * 3
+             + ["common words shared rare%d" % i for i in range(3)]
+             + ["uniq%d only%d stuff%d" % (i, i, i) for i in range(3)])
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(range(9)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "p.parquet"))
+
+    labeled = (build_pipeline(PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("quality_buckets")])).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    assert list(labeled.columns) == ["doc_id", "nll_bp", "bucket"]
+    assert set(labeled["bucket"]) <= {"head", "middle", "tail"}
+    # identical lowest-nll docs 0-2 must all be head (value-based ties)
+    assert (labeled.loc[:2, "bucket"] == "head").all()
+
+    kept = (build_pipeline(PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("quality_buckets",
+                            {"keep": "head,middle"})])).to_pandas())
+    want = set(labeled.loc[labeled["bucket"] != "tail", "doc_id"])
+    assert set(kept["doc_id"]) == want
+    assert "text" in kept.columns   # the DOC stream survives, labeled out
