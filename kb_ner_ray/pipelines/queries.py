@@ -2410,6 +2410,35 @@ FROM t GROUP BY tok
 """
 
 
+def q_embed_outliers(sf_dir: str):
+    """Embedding-space outlier scoring (stages/similarity.py
+    embed_outliers): cosine of every vector to its label centroid —
+    the mislabeled/noisy-sample cleaning signal.  Two streaming passes,
+    zero shuffles (per-label dim-sum partials are bounded by the class
+    space x dim); scores quantized to int64 basis points."""
+    from ..stages.similarity import embed_outliers
+
+    return embed_outliers(_read(sf_dir, "embeddings",
+                                columns=["vec_id", "embedding", "label"]))
+
+
+SQL_EMBED_OUTLIERS = r"""
+WITH dims AS (
+  SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(generate_series(1, array_length(embedding))) AS g(i)),
+cent AS (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim),
+cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY label),
+dots AS (SELECT d.vec_id, d.label,
+                sum(d.x * c.c) AS dot, sqrt(sum(d.x * d.x)) AS vnorm
+         FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+         GROUP BY d.vec_id, d.label)
+SELECT dots.vec_id, dots.label,
+       CAST(FLOOR(dot / (vnorm * cnorm) * 10000 + 0.5) AS BIGINT) AS cos_bp
+FROM dots JOIN cn ON cn.label = dots.label
+"""
+
+
 PMI_WINDOW = 3
 PMI_MIN_PAIR = 5
 
@@ -2796,7 +2825,7 @@ def queries_registry():
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
         "events_topn_per_type": q_events_topn_per_type,
         "bm25_search": q_bm25_search,
-        "union_sample": q_union_sample,
+        "embed_outliers": q_embed_outliers,
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2828,6 +2857,8 @@ def queries_registry():
         # round-4-new doc_quality_buckets (exact, needs a driver row)
         "props_json": q_props_json,  # displaced by the round-4-new
         # doc_pmi (exact, needs a driver row)
+        "union_sample": q_union_sample,  # displaced by the round-4-new
+        # embed_outliers (exact, needs a driver row)
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2897,6 +2928,7 @@ def oracle_registry():
         "bm25_search": SQL_BM25_SEARCH,
         "doc_quality_buckets": SQL_QUALITY_BUCKETS,
         "doc_pmi": SQL_DOC_PMI,
+        "embed_outliers": SQL_EMBED_OUTLIERS,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,

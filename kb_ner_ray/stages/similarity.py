@@ -463,3 +463,81 @@ def cosine_pairs_blocked(emb_ds, threshold: float,
             .groupby("cell")
             .map_groups(_cosine_pairs_in_cell, batch_format="pandas",
                         fn_kwargs={"threshold": threshold}))
+
+
+def _emb_matrix_fast(col) -> np.ndarray:
+    """Zero-copy-ish (vec_count, dim) float64 matrix from a list<float>
+    column (flatten the Arrow list buffer instead of to_pylist)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(len(arr), -1)
+
+
+def label_centroids(emb_ds, *, label_col: str = "label",
+                    emb_col: str = "embedding") -> pd.DataFrame:
+    """Per-label mean vector via bounded per-batch partials.
+
+    Each batch emits one (label, count, dim-sums) row per label present —
+    bounded by |labels| x dim fixed-width floats (labels are a CLASS
+    space, not a corpus-growing key; callers with unbounded keys need a
+    bucketed groupby instead).  Driver combine under the bounded-combiner
+    contract.  Returns pandas (label, n, c_0..c_{dim-1})."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_matrix_fast(t[emb_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        cols = {"label": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt, pa.int64())}
+        for d in range(m.shape[1]):
+            cols[f"c_{d}"] = pa.array(sums[:, d], pa.float64())
+        return pa.table(cols)
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("label", as_index=False).sum()
+    dims = [c for c in agg.columns if c.startswith("c_")]
+    agg[dims] = agg[dims].div(agg["n"], axis=0)
+    return agg
+
+
+def embed_outliers(emb_ds, *, label_col: str = "label",
+                   emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Embedding-space outlier scoring for data cleaning: cosine of every
+    vector to its LABEL CENTROID, quantized to int64 basis points (repo
+    float policy).  A low score marks a vector that disagrees with its
+    class — the standard mislabeled/noisy-sample signal (cf. prototype /
+    nearest-centroid classifiers).
+
+    Two streaming passes, ZERO shuffles: pass 1 reduces to per-label
+    dim-sums (bounded partials, see label_centroids); the centroid matrix
+    broadcasts via ray.put; pass 2 scores each batch with one matmul row
+    lookup.  Returns Dataset(vec_id, label, cos_bp)."""
+    cent = label_centroids(emb_ds, label_col=label_col, emb_col=emb_col)
+    labels = cent["label"].to_numpy(np.int64)
+    dims = [c for c in cent.columns if c.startswith("c_")]
+    C = cent[dims].to_numpy(np.float64)
+    cnorm = np.linalg.norm(C, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    lab_row = {int(l): i for i, l in enumerate(labels)}
+    ref = ray.put((lab_row, C, cnorm))
+
+    def score(t: pa.Table) -> pa.Table:
+        lr, cm, cn = ray.get(ref)
+        m = _emb_matrix_fast(t[emb_col])
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.array([lr[int(x)] for x in lab], np.int64)
+        dot = np.einsum("ij,ij->i", m, cm[rows])
+        vn = np.linalg.norm(m, axis=1)
+        vn[vn == 0] = 1.0
+        cos = dot / (vn * cn[rows])
+        return pa.table({
+            id_col: t[id_col],
+            label_col: t[label_col],
+            "cos_bp": pa.array(np.floor(cos * 10_000 + 0.5)
+                               .astype(np.int64)),
+        })
+
+    return emb_ds.map_batches(score, batch_format="pyarrow")

@@ -541,14 +541,14 @@ def test_registry_window_carries_full_signal():
     rotated_out = {"top_orders", "customer_rollup", "part_filter_topk",
                    "doc_token_explode", "distinct_users",
                    "nation_acctbal_minmax", "nation_top3_names",
-                   "props_json"}
+                   "props_json", "union_sample"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
     # round-4 rotation targets actually sit INSIDE the window
     rotated_in = {"events_hopping", "doc_unigram_ppl", "token_postings",
                   "doc_passage_dedup", "kg_entity_pagerank", "bm25_search",
-                  "doc_quality_buckets", "doc_pmi"}
+                  "doc_quality_buckets", "doc_pmi", "embed_outliers"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():

@@ -84,3 +84,55 @@ def test_bm25_search_empty_corpus_and_no_hits(ray_session):
     got = bm25_search_corpus(_docs_ds(["a b", "c d"]), {1: ["zzz"]}, k=5)
     assert len(got) == 0
     assert list(got.columns) == ["qid", "doc_id", "rank"]
+
+
+# --- embedding outlier scoring (stages/similarity.py embed_outliers) ------
+
+
+def _emb_ds(vecs, labels, n_blocks=3):
+    import pyarrow as pa
+    import ray
+
+    t = pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    return ray.data.from_arrow(t).repartition(n_blocks)
+
+
+def test_embed_outliers_planted(ray_session):
+    from kb_ner_ray.stages.similarity import embed_outliers
+
+    # label 0: three vectors near +x, one near -x (the planted outlier)
+    vecs = [[1, 0], [0.9, 0.1], [1, 0.05], [-1, 0],
+            [0, 1], [0.1, 0.9]]               # label 1: coherent
+    labels = [0, 0, 0, 0, 1, 1]
+    out = (embed_outliers(_emb_ds(vecs, labels)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == 6
+    # the planted outlier has the lowest centroid-cosine of label 0
+    lab0 = out[out["label"] == 0]
+    assert lab0.loc[lab0["cos_bp"].idxmin(), "vec_id"] == 3
+    # coherent label-1 vectors both score high
+    assert (out.loc[out["label"] == 1, "cos_bp"] > 9000).all()
+
+
+def test_embed_outliers_matches_numpy(ray_session):
+    import numpy as np
+
+    from kb_ner_ray.stages.similarity import embed_outliers
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    labels = (rng.integers(0, 3, size=50)).astype(np.int32)
+    out = (embed_outliers(_emb_ds(vecs, labels, n_blocks=5)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    m = vecs.astype(np.float64)
+    for lab in np.unique(labels):
+        c = m[labels == lab].mean(axis=0)
+        cos = (m @ c) / (np.linalg.norm(m, axis=1) * np.linalg.norm(c))
+        want = np.floor(cos * 10_000 + 0.5).astype(np.int64)
+        got = out.loc[out["label"] == lab, "cos_bp"].to_numpy()
+        assert (got == want[labels == lab]).all()
