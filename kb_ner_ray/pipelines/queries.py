@@ -2410,6 +2410,52 @@ FROM t GROUP BY tok
 """
 
 
+def q_stratified_rebalance(sf_dir: str):
+    """Deterministic stratified rebalance — the corpus data-MIXING op:
+    downsample every language to (approximately) the rarest language's
+    volume with a reproducible value-hash keep rule, so the training mix
+    is balanced without an RNG (the O5/O6 sampling seats generalized to
+    per-group rates).  Pass 1: per-language counts (bounded key space,
+    per-batch combiners); rates broadcast as scalars; pass 2: vectorized
+    keep filter.  ZERO shuffles; rerunning yields the identical sample."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("lang")
+                .aggregate([("doc_id", "count")])
+                .rename_columns(["lang", "c"]))
+
+    cnt = _tree_agg(ds, ["lang"], partial, {"c": "sum"})
+    mn = int(cnt["c"].min())
+    # rate scaled to a PRIME modulus, floor — identical integer
+    # arithmetic in SQL.  The hash (id*48271 mod 99991, both prime) is a
+    # full-cycle multiplicative spread: sequential ids cover all residues
+    # uniformly (a composite modulus sharing factors with the multiplier
+    # would collapse onto a few residues and break the rate).
+    rates = {s: mn * 99_991 // int(c)
+             for s, c in zip(cnt["lang"], cnt["c"])}
+    rref = ray.put(rates)
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["lang"].to_pylist()
+        thr = np.array([r[s] for s in src], np.int64)
+        m = (ids * 48_271 + 7) % 99_991 < thr
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_REBALANCE = """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS mn FROM cnt)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cnt USING (lang) CROSS JOIN m
+WHERE (d.doc_id * 48271 + 7) % 99991 < (m.mn * 99991) // cnt.c
+"""
+
+
 def q_embed_outliers(sf_dir: str):
     """Embedding-space outlier scoring (stages/similarity.py
     embed_outliers): cosine of every vector to its label centroid —
@@ -2822,7 +2868,7 @@ def queries_registry():
         "knn_bruteforce": q_knn_bruteforce,
         "embed_near_dup": q_embed_near_dup,
         "customers_with_orders": q_customers_with_orders,
-        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        "stratified_rebalance": q_stratified_rebalance,
         "events_topn_per_type": q_events_topn_per_type,
         "bm25_search": q_bm25_search,
         "embed_outliers": q_embed_outliers,
@@ -2859,6 +2905,9 @@ def queries_registry():
         # doc_pmi (exact, needs a driver row)
         "union_sample": q_union_sample,  # displaced by the round-4-new
         # embed_outliers (exact, needs a driver row)
+        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        # displaced by the round-4-new stratified_rebalance (exact); the
+        # anti-join stays locally oracle-verified every check run
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2929,6 +2978,7 @@ def oracle_registry():
         "doc_quality_buckets": SQL_QUALITY_BUCKETS,
         "doc_pmi": SQL_DOC_PMI,
         "embed_outliers": SQL_EMBED_OUTLIERS,
+        "stratified_rebalance": SQL_STRATIFIED_REBALANCE,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,

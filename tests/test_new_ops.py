@@ -541,14 +541,16 @@ def test_registry_window_carries_full_signal():
     rotated_out = {"top_orders", "customer_rollup", "part_filter_topk",
                    "doc_token_explode", "distinct_users",
                    "nation_acctbal_minmax", "nation_top3_names",
-                   "props_json", "union_sample"}
+                   "props_json", "union_sample",
+                   "customers_no_urgent_orders"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
     # round-4 rotation targets actually sit INSIDE the window
     rotated_in = {"events_hopping", "doc_unigram_ppl", "token_postings",
                   "doc_passage_dedup", "kg_entity_pagerank", "bm25_search",
-                  "doc_quality_buckets", "doc_pmi", "embed_outliers"}
+                  "doc_quality_buckets", "doc_pmi", "embed_outliers",
+                  "stratified_rebalance"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
@@ -626,3 +628,19 @@ def test_banding_candidate_stats_planted(ray_session):
     assert st["cand_pairs"].tolist() == [4, 6]
     assert st["n_buckets"].tolist() == [2, 1]
     assert st["n_rows"].tolist() == [5, 4]
+
+
+def test_stratified_rebalance_balances_langs(ray_session):
+    """Skewed langs are downsampled toward the rarest lang's volume with
+    a deterministic keep rule (identical output across runs)."""
+    from kb_ner_ray.pipelines.queries import q_stratified_rebalance
+
+    out = q_stratified_rebalance("/root/testdata/sf0.01").to_pandas()
+    again = q_stratified_rebalance("/root/testdata/sf0.01").to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True))
+    kept = out.groupby("lang").size()
+    # input: en=218, zh=75, es=73, de=70, fr=64 -> every lang lands
+    # within a loose band of the min (rate sampling, not exact-k)
+    assert kept.max() <= 2 * kept.min()
+    assert len(out) < 500  # the dominant lang actually got downsampled
