@@ -41,8 +41,15 @@ from .kg import load_corpus_refs, sentences_dataset
 
 def checkpoint_fingerprint(corpus: str, checkpoint: dict) -> str:
     """Content fingerprint binding one run to (input corpus, checkpoint
-    identity): either side changing invalidates exactly that run."""
-    files = sorted(glob.glob(os.path.join(corpus, "pages", "*.parquet")))
+    identity): either side changing invalidates exactly that run.
+
+    Predictions depend on pages AND the broadcast sides the tagger is
+    built from (kb/, gazetteer/ — load_corpus_refs), so all three table
+    directories enter the fingerprint; a gazetteer update must not be
+    served stale cached runs."""
+    files = sorted(f for sub in ("pages", "kb", "gazetteer")
+                   for f in glob.glob(os.path.join(corpus, sub,
+                                                   "*.parquet")))
     h = hashlib.blake2b(digest_size=16)
     h.update(input_fingerprint(files).encode())
     h.update(json.dumps(checkpoint, sort_keys=True).encode())
@@ -85,10 +92,28 @@ def ensemble_from_runs(out_dir: str, n_models: int,
 
     Reads every run's span rows (fixed-width; url, sent_id, start/end,
     label, model_id, n_tokens) and applies the same vote kernel as the
-    fused path, so both paths are interchangeable downstream."""
-    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
-    if not files:
+    fused path, so both paths are interchangeable downstream.
+
+    Only MANIFESTED run directories are read (a crashed write leaves a
+    part=NNNN.tmp with no manifest — never voted), and the run count
+    must equal ``n_models``: a leftover run from a wider previous sweep
+    would silently skew the vote threshold."""
+    import re
+
+    run_dirs = sorted(
+        d for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if re.fullmatch(r"part=\d{4}", d)
+        and os.path.exists(os.path.join(out_dir, d, "_MANIFEST.json")))
+    if not run_dirs:
         raise FileNotFoundError(f"no prediction runs under {out_dir}")
+    if len(run_dirs) != n_models:
+        raise ValueError(
+            f"{out_dir} holds {len(run_dirs)} manifested runs but the vote "
+            f"expects n_models={n_models}; remove stale runs from a "
+            f"previous sweep (or pass the sweep's true n_models)")
+    files = sorted(f for d in run_dirs
+                   for f in glob.glob(os.path.join(out_dir, d,
+                                                   "*.parquet")))
     preds = ray.data.read_parquet(files)
     return preds.groupby("url").map_groups(
         vote_group_factory(n_models, threshold), batch_format="pandas")

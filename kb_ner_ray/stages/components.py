@@ -288,25 +288,23 @@ def near_dup_keep(docs_ds, pairs_ds, id_col: str = "doc_id",
     tagged = (docs_ds.map_batches(widen_docs, batch_format="pyarrow")
               .union(comps.map_batches(drops, batch_format="pyarrow")))
 
-    # the R (drop-set) rows carry nulls in every non-id column, so the
-    # pandas conversion widens EVERY integer doc column to float64 —
-    # restore exact dtypes after the L-only filter (round-3 advice:
-    # only id_col was cast back; an int64 n_chars came out float64,
-    # lossy above 2^53)
-    int_cols = {c: t.to_pandas_dtype() for c, t in doc_types.items()
-                if pa.types.is_integer(t)}
+    # the per-bucket anti-filter runs ARROW-NATIVE: a pandas conversion
+    # would widen every nullable int column to float64 (the R drop-set
+    # rows carry nulls), silently ROUNDING int64 values above 2^53 —
+    # a cast back to int64 after the fact cannot restore them (round-3
+    # advice, re-confirmed by repro this round).  Arrow int64 + nulls
+    # stays int64, so values pass through bit-exact.
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "L"]
-        dropped = g.loc[g["__side"] == "R", id_col].unique()
-        out = lg.loc[~lg[id_col].isin(dropped), doc_cols].copy()
-        for c, dt in int_cols.items():
-            if out[c].notna().all():  # pre-existing nulls stay float
-                out[c] = out[c].astype(dt)
-        return out
+        lg = g.filter(pc.equal(g["__side"], "L"))
+        dropped = g.filter(pc.equal(g["__side"], "R"))[id_col]
+        dropped = dropped.combine_chunks().unique()
+        keep = pc.invert(pc.is_in(lg[id_col], value_set=dropped))
+        return lg.filter(keep).select(doc_cols)
 
     return tagged.groupby("__b").map_groups(filter_bucket,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
 
 
 def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",

@@ -67,9 +67,10 @@ def _pair_counts_batch(t: pa.Table, text_col: str, window: int,
                          "__b": pa.array([], pa.int32())})
     cnt = (pd.concat(parts).groupby(["a", "b"], sort=False)
            .size().reset_index(name="n_ab"))
-    h = pd.util.hash_pandas_object(
-        cnt["a"].astype(str) + "\x00" + cnt["b"].astype(str), index=False)
-    cnt["__b"] = (h % n_buckets).astype(np.int32)
+    from .partitioning import bucket_multi
+
+    cnt["__b"] = bucket_multi([cnt["a"].to_numpy(object),
+                               cnt["b"].to_numpy(object)], n_buckets)
     return pa.Table.from_pandas(cnt, preserve_index=False)
 
 
@@ -97,9 +98,11 @@ def windowed_pmi(docs_ds, *, window: int = 3, min_pair: int = 5,
                       "n_ab": pa.array([], pa.int64()),
                       "pmi_bp": pa.array([], pa.int64())})
     if survivors.count() == 0:
-        # a zero-block Dataset drops its schema through to_pandas();
-        # return the typed empty frame directly
-        return empty.to_pandas()
+        # keep the return type uniform (always a Dataset): the empty
+        # result carries its schema via ds.schema(); note Ray drops
+        # columns in .to_pandas() on ANY zero-row dataset, early-exit
+        # or not — callers needing a typed empty frame use ds.schema()
+        return ray.data.from_arrow(empty)
 
     # survivor token set: measured BEFORE it is pulled driver-side
     vocab_bytes = 0

@@ -204,11 +204,14 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
     nb = n_buckets or default_buckets()
     mc = int(min_count)
 
+    # vectorized Arrow tokenizer shared with sparse/cooccur — identical
+    # whitespace contract (trim + split, empty text -> one '' token), no
+    # Python loop over rows on this corpus-hot path
+    from .sparse import _tokenize_batch
+
     def count_partial(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for text in t.column("text").to_pylist():
-            toks.extend(_WS_RE.split(text.strip()))
-        out = (pa.table({"tok": pa.array(toks, pa.string())})
+        flat, _di, _len = _tokenize_batch(t, "text")
+        out = (pa.table({"tok": flat})
                .group_by("tok").aggregate([("tok", "count")]))
         return out.append_column(
             "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
@@ -271,15 +274,10 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
         # (doc_id, tok) occurrence counts per batch — the probe side of
         # the bucketed join, pre-aggregated so duplicate tokens within a
         # doc travel as one row.
-        toks: list[str] = []
-        dids: list[int] = []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            ws = _WS_RE.split(text.strip())
-            toks.extend(ws)
-            dids.extend([doc_id] * len(ws))
-        out = (pa.table({"doc_id": pa.array(dids, pa.int64()),
-                         "tok": pa.array(toks, pa.string())})
+        flat, di, _len = _tokenize_batch(t, "text")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = (pa.table({"doc_id": pa.array(ids[di], pa.int64()),
+                         "tok": flat})
                .group_by(["doc_id", "tok"]).aggregate([("tok", "count")]))
         return pa.table({
             "doc_id": out["doc_id"],
@@ -348,17 +346,13 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
 
     def score(t: pa.Table) -> pa.Table:
         lp = ray.get(ref)
-        toks: list[str] = []
-        lens: list[int] = []
-        for text in t.column("text").to_pylist():
-            ws = _WS_RE.split(text.strip())
-            toks.extend(ws)
-            lens.append(len(ws))
-        vals = (pd.Series(toks, dtype=object).map(lp).fillna(oov_logp)
+        flat, di, n = _tokenize_batch(t, "text")
+        vals = (pd.Series(flat.to_numpy(zero_copy_only=False),
+                          dtype=object).map(lp).fillna(oov_logp)
                 .to_numpy(np.float64))
-        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
-        sums = np.add.reduceat(vals, offs) if len(vals) else np.array([])
-        n = np.asarray(lens, np.int64)
+        # bincount, not reduceat: synthesized empty-doc tokens are
+        # appended out of positional order by the shared tokenizer
+        sums = np.bincount(di, weights=vals, minlength=len(t))
         avg = sums / n
         return pa.table({
             "doc_id": t["doc_id"],

@@ -84,7 +84,10 @@ def test_near_dup_keep_planted(ray_session):
         "n_chars": pa.array([big + i for i in range(10)], pa.int64()),
     }))
     pairs = _pairs_ds([(1, 2), (2, 3), (5, 6)])
-    kept = (near_dup_keep(docs, pairs, n_buckets=4).to_pandas()
+    # n_buckets=1 forces every kept doc to share its bucket with null-
+    # widened R rows — the exact condition that rounded int64 through
+    # float64 before the filter went Arrow-native
+    kept = (near_dup_keep(docs, pairs, n_buckets=1).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     # components {1,2,3} -> keep 1, {5,6} -> keep 5; others untouched
     assert kept["doc_id"].tolist() == [0, 1, 4, 5, 7, 8, 9]

@@ -77,5 +77,5 @@ def test_pmi_vocab_gate_raises(ray_session):
 
 def test_pmi_empty_result_schema(ray_session):
     got = windowed_pmi(_docs_ds(["a b", "c d"]), window=2, min_pair=5)
-    assert len(got) == 0  # all pairs pruned -> typed empty pandas frame
-    assert list(got.columns) == ["tok_a", "tok_b", "n_ab", "pmi_bp"]
+    assert got.count() == 0  # all pruned -> schema'd EMPTY Dataset
+    assert got.schema().names == ["tok_a", "tok_b", "n_ab", "pmi_bp"]

@@ -66,5 +66,51 @@ def test_ensemble_from_runs_missing_dir_raises(ray_session, tmp_path):
         ensemble_from_runs(str(tmp_path / "nope"), n_models=3)
 
 
+def test_ensemble_from_runs_guards(ray_session, tmp_path):
+    """Stale runs from a wider sweep and crashed .tmp dirs must not leak
+    into the vote: run-count mismatch raises; unmanifested dirs are
+    ignored."""
+    import pytest
+
+    corpus = corpus_dir(SF)
+    out = str(tmp_path / "runs")
+    ckpts = [{"model_id": m, "n_models": 3} for m in range(3)]
+    run_checkpoint_predictions(corpus, ckpts, out)
+
+    # a crashed write leaves part=0003.tmp with data but no manifest:
+    # ignored, the 3-run vote still works
+    import shutil
+
+    shutil.copytree(f"{out}/part=0000", f"{out}/part=0003.tmp")
+    (tmp_path / "runs" / "part=0003.tmp" / "_MANIFEST.json").unlink()
+    assert ensemble_from_runs(out, n_models=3).count() > 0
+
+    # a leftover manifested run from a previous 4-model sweep: raises
+    shutil.copytree(f"{out}/part=0000", f"{out}/part=0003")
+    with pytest.raises(ValueError, match="manifested runs"):
+        ensemble_from_runs(out, n_models=3)
+
+
+def test_fingerprint_covers_broadcast_sides(ray_session):
+    """kb/gazetteer tables enter the fingerprint: predictions depend on
+    them, so editing one must invalidate cached runs (review finding)."""
+    import glob as g
+    import os
+
+    corpus = corpus_dir(SF)
+    ck = {"model_id": 0, "n_models": 3}
+    before = checkpoint_fingerprint(corpus, ck)
+    gaz = sorted(g.glob(os.path.join(corpus, "gazetteer", "*.parquet")))[0]
+    payload = open(gaz, "rb").read()
+    try:
+        with open(gaz, "ab") as f:   # size change = content fingerprint
+            f.write(b"x")
+        assert checkpoint_fingerprint(corpus, ck) != before
+    finally:
+        with open(gaz, "wb") as f:
+            f.write(payload)
+    assert checkpoint_fingerprint(corpus, ck) == before
+
+
 def teardown_module(module):
     shutil.rmtree("/tmp/kbner_multirun", ignore_errors=True)
