@@ -209,3 +209,71 @@ def windowed_count_stream(events_ds, key: str = "event_type",
         ray.kill(a)
     return pd.DataFrame(rows, columns=[key, "window_start", "n_events",
                                        "value_sum"])
+
+
+# ---- incremental (ingest-time) exact dedup -----------------------------------
+
+
+@ray.remote(num_cpus=0)
+class DedupBucket:
+    """Seen-content-hash shard for one bucket of a streaming exact dedup.
+
+    The state IS the dedup index (that is what a streaming dedup keeps);
+    actors shard it by hash so no single process holds the full set — a
+    real deployment backs each shard with a disk KV store, same routing."""
+
+    def __init__(self):
+        self.seen: dict[str, int] = {}
+
+    def feed(self, hashes: list[str], ids: list[int]) -> list[int]:
+        """First arrival per content hash wins; returns ACCEPTED doc ids."""
+        accepted = []
+        seen = self.seen
+        for h, i in zip(hashes, ids):
+            if h in seen:
+                seen[h] += 1
+            else:
+                seen[h] = 1
+                accepted.append(i)
+        return accepted
+
+    def stats(self) -> tuple[int, int]:
+        return len(self.seen), sum(self.seen.values())
+
+
+def dedup_stream(docs_ds, n_buckets: int = 8,
+                 simulate_ordered: bool = True) -> pd.DataFrame:
+    """Ingest-time exact dedup: first occurrence of each content hash is
+    accepted, later arrivals are dropped AT INGEST (the streaming shape of
+    stages/dedup.exact_dedup, whose batch plan keeps min doc_id — the two
+    agree whenever the stream arrives in doc_id order, pinned by test).
+
+    The driver is the stream receiver (same option-(c) pattern as
+    sessionize_stream): it hashes each batch and routes rows to the
+    bucket actor owning hash % n_buckets.  ``simulate_ordered=True``
+    sorts the bounded stand-in table by doc_id to simulate an ingest log;
+    a real feed passes False and is consumed as-is (arrival order IS the
+    dedup policy — no contract to enforce).  Returns the accepted
+    (doc_id, content_hash) rows."""
+    import hashlib
+
+    actors = [DedupBucket.remote() for _ in range(n_buckets)]
+    src = docs_ds.sort("doc_id") if simulate_ordered else docs_ds
+    kept: list[list[int]] = []
+    for batch in src.iter_batches(batch_size=4096, batch_format="pandas"):
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch["text"]]
+        ids = batch["doc_id"].astype(int).tolist()
+        routed: dict[int, tuple[list, list]] = {}
+        for h, i in zip(hs, ids):
+            b = int(h[:4], 16) % n_buckets
+            routed.setdefault(b, ([], []))[0].append(h)
+            routed[b][1].append(i)
+        # feeds are awaited per batch: acceptance must be decided in
+        # arrival order before the next batch's duplicates are offered
+        kept.extend(ray.get([actors[b].feed.remote(h_l, i_l)
+                             for b, (h_l, i_l) in routed.items()]))
+    ids = sorted(i for part in kept for i in part)
+    for a in actors:
+        ray.kill(a)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})

@@ -644,3 +644,44 @@ def test_stratified_rebalance_balances_langs(ray_session):
     # within a loose band of the min (rate sampling, not exact-k)
     assert kept.max() <= 2 * kept.min()
     assert len(out) < 500  # the dominant lang actually got downsampled
+
+
+def test_dedup_stream_matches_batch_and_first_wins(ray_session):
+    """Streaming ingest dedup == batch exact_dedup when the stream is in
+    doc_id order (first arrival == min id); a raw unsorted feed keeps the
+    FIRST-arrival occurrence instead."""
+    from kb_ner_ray.stages.dedup import exact_dedup
+    from kb_ner_ray.stages.streaming import dedup_stream
+
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "alpha", "delta"]
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14, 15, 16], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(docs).repartition(3)
+    got = dedup_stream(ds, n_buckets=4)
+    want = sorted(exact_dedup(ds).to_pandas()["doc_id"])
+    assert got["doc_id"].tolist() == want == [10, 11, 13, 16]
+
+    # unsorted feed: first-arrival policy — feed doc 12 ('alpha') before
+    # doc 10 by reversing ids; the KEEPER flips to the earliest arrival
+    rev = pa.table({
+        "doc_id": pa.array([16, 15, 14, 13, 12, 11, 10], pa.int64()),
+        "text": pa.array(texts[::-1], pa.string()),
+    })
+    got_raw = dedup_stream(ray.data.from_arrow(rev),
+                           n_buckets=4, simulate_ordered=False)
+    assert sorted(got_raw["doc_id"]) == [13, 14, 15, 16]
+
+
+def test_dedup_stream_on_synth_docs(ray_session):
+    """Parity on the real documents table at sf0.001."""
+    from kb_ner_ray.pipelines.queries import _read
+    from kb_ner_ray.stages.dedup import exact_dedup
+    from kb_ner_ray.stages.streaming import dedup_stream
+
+    ds = _read("/root/testdata/sf0.001", "documents",
+               columns=["doc_id", "text"])
+    got = dedup_stream(ds, n_buckets=4)["doc_id"].tolist()
+    want = sorted(exact_dedup(ds).to_pandas()["doc_id"])
+    assert got == want
