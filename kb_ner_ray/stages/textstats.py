@@ -17,7 +17,6 @@ import pyarrow.compute as pc
 #   punct_cnt  = length(regexp_replace(text, '[a-zA-Z0-9_ \t\n]', '', 'g'))
 #   fingerprint= md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
 _WS_RE = re.compile(r"\s+")
-_KEEP_RE = re.compile(r"[a-zA-Z0-9_ \t\n]")
 
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "for", "on")
 
@@ -31,21 +30,34 @@ _CJK_RE = re.compile(r"[一-鿿]")
 
 
 def doc_token_stats(batch: pa.Table) -> pa.Table:
-    """doc_id, n_chars, n_tokens, punct_cnt, stopword_cnt (vectorized where
-    Arrow has the kernel; regex counts per row with compiled patterns)."""
+    """doc_id, n_chars, n_tokens, punct_cnt, stopword_cnt — fully
+    vectorized (round-4): token counts via the shared Arrow tokenizer,
+    punct as (total chars - keep-class regex matches, each match one
+    char), stopwords via is_in + bincount.  Semantics identical to the
+    previous per-row loops (and the SQL oracle): empty text counts one
+    '' token; lower() before split for the stopword pass."""
+    import numpy as np
+
+    from .sparse import _tokenize_batch
+
     texts = batch.column("text")
     n_chars = pc.utf8_length(texts)
-    py = texts.to_pylist()
-    n_tokens = [len(_WS_RE.split(t.strip())) for t in py]
-    punct = [len(_KEEP_RE.sub("", t)) for t in py]
-    stop = [sum(1 for w in _WS_RE.split(t.lower().strip()) if w in STOPWORDS)
-            for t in py]
+    keep_cnt = pc.count_substring_regex(texts, r"[a-zA-Z0-9_ \t\n]")
+    punct = pc.subtract(pc.cast(n_chars, pa.int64()),
+                        pc.cast(keep_cnt, pa.int64()))
+    _f, _di, n_tokens = _tokenize_batch(batch, "text")
+    low = batch.set_column(batch.schema.get_field_index("text"), "text",
+                           pc.utf8_lower(texts))
+    lf, ldi, _ln = _tokenize_batch(low, "text")
+    sw = pc.is_in(lf, value_set=pa.array(sorted(STOPWORDS), pa.string()))
+    stop = np.bincount(ldi, weights=sw.to_numpy(zero_copy_only=False),
+                       minlength=len(batch)).astype(np.int64)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_chars": pc.cast(n_chars, pa.int64()),
             "n_tokens": pa.array(n_tokens, pa.int64()),
-            "punct_cnt": pa.array(punct, pa.int64()),
+            "punct_cnt": punct,
             "stopword_cnt": pa.array(stop, pa.int64()),
         }
     )
@@ -83,12 +95,41 @@ def detect_lang(text: str) -> str:
 
 
 def doc_langid(batch: pa.Table) -> pa.Table:
+    """Vectorized language ID (round-4): CJK charset test + per-language
+    DISTINCT-stopword votes via is_in + bincount; argmax over languages in
+    sorted order reproduces detect_lang's first-wins tie rule exactly."""
+    import numpy as np
+
+    from .sparse import _tokenize_batch
+
+    n = len(batch)
+    texts = batch.column("text")
+    low = batch.set_column(batch.schema.get_field_index("text"), "text",
+                           pc.utf8_lower(texts))
+    flat, di, _l = _tokenize_batch(low, "text")
+    import pandas as pd
+
+    uniq = pd.DataFrame({"di": di,
+                         "tok": flat.to_numpy(zero_copy_only=False)}
+                        ).drop_duplicates()
+    langs = sorted(_LANG_STOPWORDS)
+    votes = np.zeros((n, len(langs)), np.int64)
+    toks = pa.array(uniq["tok"].to_numpy(object), pa.string())
+    udi = uniq["di"].to_numpy(np.int64)
+    for j, lang in enumerate(langs):
+        hit = pc.is_in(toks, value_set=pa.array(
+            sorted(_LANG_STOPWORDS[lang]), pa.string()))
+        votes[:, j] = np.bincount(
+            udi, weights=hit.to_numpy(zero_copy_only=False), minlength=n)
+    best = np.array(langs, object)[votes.argmax(axis=1)]
+    best[votes.max(axis=1) == 0] = "und"
+    cjk = pc.match_substring_regex(texts, "[一-鿿]") \
+        .to_numpy(zero_copy_only=False)
+    best[cjk] = "zh"
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "pred_lang": pa.array(
-                [detect_lang(t) for t in batch.column("text").to_pylist()],
-                pa.string()),
+            "pred_lang": pa.array(best, pa.string()),
         }
     )
 
@@ -96,23 +137,24 @@ def doc_langid(batch: pa.Table) -> pa.Table:
 def doc_quality(batch: pa.Table) -> pa.Table:
     """Quality score in [0,1]: blended length / punctuation / stopword
     signals (Gopher-rules-style heuristics)."""
+    import numpy as np
+
     stats = doc_token_stats(batch)
-    out = []
-    for nc, nt, pc_, sw in zip(stats.column("n_chars").to_pylist(),
-                               stats.column("n_tokens").to_pylist(),
-                               stats.column("punct_cnt").to_pylist(),
-                               stats.column("stopword_cnt").to_pylist()):
-        len_ok = 1.0 if 10 <= nt <= 100000 else 0.0
-        punct_ratio = pc_ / max(1, nc)
-        stop_ratio = sw / max(1, nt)
-        score = 0.4 * len_ok + 0.3 * min(1.0, 4 * stop_ratio) \
-            + 0.3 * (1.0 - min(1.0, 5 * punct_ratio))
-        out.append(round(score, 6))
+    nc = stats.column("n_chars").to_numpy(zero_copy_only=False)
+    nt = stats.column("n_tokens").to_numpy(zero_copy_only=False)
+    pct = stats.column("punct_cnt").to_numpy(zero_copy_only=False)
+    sw = stats.column("stopword_cnt").to_numpy(zero_copy_only=False)
+    len_ok = ((nt >= 10) & (nt <= 100000)).astype(np.float64)
+    punct_ratio = pct / np.maximum(1, nc)
+    stop_ratio = sw / np.maximum(1, nt)
+    score = (0.4 * len_ok + 0.3 * np.minimum(1.0, 4 * stop_ratio)
+             + 0.3 * (1.0 - np.minimum(1.0, 5 * punct_ratio)))
+    # Python round() per element, not np.round: the oracle hash was
+    # recorded against round-half-even at float64 Python semantics and
+    # np.round's scaled-multiply can differ in the last ulp
+    out = [round(float(x), 6) for x in score]
     return pa.table({"doc_id": stats.column("doc_id"),
                      "quality": pa.array(out, pa.float64())})
-
-
-_ALPHA_RE = re.compile(r"[A-Za-z]")
 
 
 def doc_gopher_rules(batch: pa.Table) -> pa.Table:
@@ -126,21 +168,23 @@ def doc_gopher_rules(batch: pa.Table) -> pa.Table:
     * r_symbol:   '#' chars <= 10% of word count
     * keep = all of the above.
     """
-    rows_id = batch.column("doc_id")
-    texts = batch.column("text").to_pylist()
-    n_words, total_chars, alpha_words, hash_count = [], [], [], []
-    for t in texts:
-        toks = _WS_RE.split(t.strip())
-        n_words.append(len(toks))
-        total_chars.append(sum(len(w) for w in toks))
-        alpha_words.append(sum(1 for w in toks if _ALPHA_RE.search(w)))
-        hash_count.append(t.count("#"))
     import numpy as np
 
-    nw = np.array(n_words, dtype=np.int64)
-    tc = np.array(total_chars, dtype=np.int64)
-    aw = np.array(alpha_words, dtype=np.int64)
-    hc = np.array(hash_count, dtype=np.int64)
+    from .sparse import _tokenize_batch
+
+    rows_id = batch.column("doc_id")
+    # vectorized (round-4): shared Arrow tokenizer + per-token kernels
+    # folded per doc with bincount; identical semantics to the previous
+    # per-row loops (empty text counts one '' word of length 0)
+    flat, di, nw = _tokenize_batch(batch, "text")
+    wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    tc = np.bincount(di, weights=wl, minlength=len(batch)).astype(np.int64)
+    has_alpha = pc.match_substring_regex(flat, "[A-Za-z]") \
+        .to_numpy(zero_copy_only=False)
+    aw = np.bincount(di, weights=has_alpha,
+                     minlength=len(batch)).astype(np.int64)
+    hc = pc.count_substring(batch.column("text"), "#") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     r_words = ((nw >= 50) & (nw <= 100_000)).astype(np.int64)
     r_mean_len = ((3 * nw <= tc) & (tc <= 10 * nw)).astype(np.int64)
     r_alpha = (10 * aw >= 8 * nw).astype(np.int64)
