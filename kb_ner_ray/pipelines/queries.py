@@ -2410,6 +2410,44 @@ FROM t GROUP BY tok
 """
 
 
+TFIDF_TOPK = 5
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document top-k TF-IDF keywords (stages/sparse.py
+    tfidf_keywords): corpus-global df joined back to every doc through
+    TWO bucketed fixed-width shuffles (token-hash for df, doc-hash for
+    the per-doc top-k) — the general shape for corpus-statistic joins
+    whose key space (token vocab) is unbounded.  Scores quantized to
+    int64 basis points; ranked (score desc, token asc)."""
+    from ..stages.sparse import tfidf_keywords
+
+    return tfidf_keywords(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]),
+                          k=TFIDF_TOPK)
+
+
+SQL_DOC_KEYWORDS = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(FLOOR(tf.tf * ln(n.n / df.df) * 10000 + 0.5) AS BIGINT)
+           AS score_bp
+  FROM tf JOIN df USING (tok) CROSS JOIN n)
+SELECT doc_id, tok, score_bp, rank FROM (
+  SELECT doc_id, tok, score_bp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_bp DESC, tok) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 def q_stratified_rebalance(sf_dir: str):
     """Deterministic stratified rebalance — the corpus data-MIXING op:
     downsample every language to (approximately) the rarest language's
@@ -2852,7 +2890,7 @@ def queries_registry():
         "events_lead_lag": q_events_lead_lag,
         "events_running_value": q_events_running_value,
         "events_pivot": q_events_pivot,
-        "orders_events_range_join": q_orders_events_range_join,
+        "doc_keywords": q_doc_keywords,
         "nation_median_acctbal": q_nation_median_acctbal,
         "doc_quality_buckets": q_doc_quality_buckets,
         "doc_passage_dedup": q_doc_passage_dedup,
@@ -2908,6 +2946,9 @@ def queries_registry():
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
         # displaced by the round-4-new stratified_rebalance (exact); the
         # anti-join stays locally oracle-verified every check run
+        "orders_events_range_join": q_orders_events_range_join,
+        # displaced by the round-4-new doc_keywords (exact); the range
+        # join stays locally oracle-verified every check run
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -2979,6 +3020,7 @@ def oracle_registry():
         "doc_pmi": SQL_DOC_PMI,
         "embed_outliers": SQL_EMBED_OUTLIERS,
         "stratified_rebalance": SQL_STRATIFIED_REBALANCE,
+        "doc_keywords": SQL_DOC_KEYWORDS,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,

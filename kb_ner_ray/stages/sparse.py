@@ -182,3 +182,77 @@ def bm25_search_corpus(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
            .groupby("qid", sort=False).head(k).reset_index(drop=True))
     top["rank"] = top.groupby("qid", sort=False).cumcount() + 1
     return top[["qid", "doc_id", "rank"]].astype(np.int64)
+
+
+def tfidf_keywords(docs_ds, *, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Per-document top-k TF-IDF keywords — corpus-wide statistics joined
+    back to every document (keyword extraction / doc summarization).
+
+    score(d, t) = tf(d,t) * ln(N / df(t)), quantized to int64 basis
+    points; top-k per doc by (score desc, token asc).
+
+    Plan — two bucketed shuffles of FIXED-WIDTH rows, the text never
+    moves after tokenization and nothing is broadcast:
+
+    * per-batch (doc, tok, tf) pre-aggregation (vectorized tokenizer),
+      one scalar N-partial row per batch riding along;
+    * shuffle 1 on hash(tok): each reducer sees a token's full posting,
+      computes df locally and emits scored rows;
+    * shuffle 2 on hash(doc): each reducer holds complete docs and cuts
+      the top-k (per-doc output bounded by k).
+
+    This is the general shape for corpus-global-statistic joins whose
+    key space is UNBOUNDED (token vocab) — contrast bm25_search, where
+    only the small query vocabulary matters and df partials fit the
+    bounded-combiner contract."""
+    from .partitioning import bucket_array, default_buckets
+
+    nb = default_buckets()
+
+    # N (total docs) via a bounded scalar pass — reuses the stats pass
+    # shape; one row per batch reaches the driver.
+    def n_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    n_docs = int(docs_ds.map_batches(
+        n_partial, batch_format="pyarrow").to_pandas()["n"].sum())
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        flat, di, _len = _tokenize_batch(t, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tf = (pd.DataFrame({"doc_id": ids[di],
+                            "tok": flat.to_numpy(zero_copy_only=False)})
+              .groupby(["doc_id", "tok"], sort=False)
+              .size().reset_index(name="tf"))
+        out = pa.table({
+            "doc_id": pa.array(tf["doc_id"].to_numpy(np.int64)),
+            "tok": pa.array(tf["tok"].to_numpy(object), pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(np.int64)),
+        })
+        return out.append_column(
+            "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("tok", sort=False)["doc_id"].transform("size")
+        idf = np.log(n_docs / df.to_numpy(np.float64))
+        s = g["tf"].to_numpy(np.float64) * idf
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "tok": g["tok"].to_numpy(object),
+            "score_bp": np.floor(s * SCORE_SCALE + 0.5).astype(np.int64),
+        })
+        out["__d"] = bucket_array(out["doc_id"].to_numpy(np.int64), nb)
+        return out
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        top = (g.sort_values(["doc_id", "score_bp", "tok"],
+                             ascending=[True, False, True])
+               .groupby("doc_id", sort=False).head(k).copy())
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return top[["doc_id", "tok", "score_bp", "rank"]].astype(
+            {"rank": np.int64})
+
+    return (docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("__b").map_groups(score_bucket, batch_format="pandas")
+            .groupby("__d").map_groups(topk_bucket, batch_format="pandas"))

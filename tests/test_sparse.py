@@ -136,3 +136,53 @@ def test_embed_outliers_matches_numpy(ray_session):
         want = np.floor(cos * 10_000 + 0.5).astype(np.int64)
         got = out.loc[out["label"] == lab, "cos_bp"].to_numpy()
         assert (got == want[labels == lab]).all()
+
+
+# --- TF-IDF keyword extraction (stages/sparse.py tfidf_keywords) -----------
+
+
+def test_tfidf_keywords_planted(ray_session):
+    from kb_ner_ray.stages.sparse import tfidf_keywords
+
+    # 'rare' appears only in doc 0 -> top keyword there; 'common' is in
+    # every doc -> idf = ln(1) = 0, never ranked above anything positive
+    texts = ["rare common common", "common x", "common y"]
+    out = (tfidf_keywords(_docs_ds(texts), k=2).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    d0 = out[out["doc_id"] == 0]
+    assert d0.iloc[0]["tok"] == "rare" and d0.iloc[0]["rank"] == 1
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+    # common scores 0 everywhere (ln(3/3) = 0)
+    assert (out.loc[out["tok"] == "common", "score_bp"] == 0).all()
+
+
+def test_tfidf_keywords_matches_brute(ray_session):
+    import math
+
+    import numpy as np
+
+    from kb_ner_ray.stages.sparse import tfidf_keywords
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+             for _ in range(25)] + [""]
+    got = (tfidf_keywords(_docs_ds(texts, n_blocks=4), k=3).to_pandas())
+    got_rows = sorted(map(tuple, got[["doc_id", "tok", "score_bp",
+                                      "rank"]].itertuples(index=False)))
+
+    toks = [(t.strip().split() or [""]) for t in texts]
+    n = float(len(toks))
+    df: dict[str, int] = {}
+    for ts in toks:
+        for w in set(ts):
+            df[w] = df.get(w, 0) + 1
+    want = []
+    for d, ts in enumerate(toks):
+        scored = sorted(
+            ((int(np.floor(ts.count(w) * math.log(n / df[w]) * 10_000
+                           + 0.5)), w) for w in set(ts)),
+            key=lambda x: (-x[0], x[1]))
+        want.extend((d, w, s, r + 1)
+                    for r, (s, w) in enumerate(scored[:3]))
+    assert got_rows == sorted(want)
