@@ -45,6 +45,7 @@ SIDE_QUERIES = [
     "bm25_search",
     "doc_quality_buckets",
     "doc_pmi",
+    "doc_keywords",
 ]
 
 

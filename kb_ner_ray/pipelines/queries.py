@@ -2851,7 +2851,7 @@ def queries_registry():
     * positions 1-11  — the flagship KG pipeline chain + its exact-oracled
       prep stages;
     * positions 12-50 — exact-SQL-oracled queries + this round's ROTATION
-      entries (the window holds 50 of 78 registered queries, so each
+      entries (the window holds 50 of 79 registered queries, so each
       round swaps a few stable, repeatedly-driver-green exact entries
       out for queries that have not yet earned a driver row — round-3
       verdict #5.  Round 4 rotated IN: events_hopping, doc_unigram_ppl,
