@@ -2410,6 +2410,68 @@ FROM t GROUP BY tok
 """
 
 
+def q_events_value_percentiles(sf_dir: str):
+    """EXACT p50/p90/p99 of the event value per event_type — grouped
+    distributed selection (stages/selection.py grouped_exact_kth): all
+    (group, rank) targets share each histogram-refinement pass, so the
+    driver only ever holds bin counts.  Values quantized to cents first
+    (repo float policy) so the order statistic is over int64 on both
+    engines; ranks are ceil(q * n_group), the k-th smallest."""
+    import math
+
+    from ..stages.selection import grouped_exact_kth
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": pa.array(_cents(v), pa.int64()),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("event_type").aggregate([("c", "count")])
+                .rename_columns(["event_type", "n"]))
+
+    cnt = _tree_agg(cds, ["event_type"], count_partial, {"n": "sum"})
+    qs = (0.50, 0.90, 0.99)
+    ranks = {r.event_type: [max(1, math.ceil(r.n * q)) for q in qs]
+             for r in cnt.itertuples()}
+    got = grouped_exact_kth(cds, "event_type", "c", ranks)
+    rows = []
+    for r in cnt.itertuples():
+        ks = ranks[r.event_type]
+        rows.append((r.event_type,
+                     got[(r.event_type, ks[0])],
+                     got[(r.event_type, ks[1])],
+                     got[(r.event_type, ks[2])]))
+    return pd.DataFrame(rows, columns=["event_type", "p50", "p90", "p99"]
+                        ).astype({"p50": np.int64, "p90": np.int64,
+                                  "p99": np.int64})
+
+
+SQL_EVENTS_VALUE_PERCENTILES = """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT event_type,
+       max(CASE WHEN rn = GREATEST(1, CAST(ceil(n * 0.50) AS BIGINT))
+           THEN c END) AS p50,
+       max(CASE WHEN rn = GREATEST(1, CAST(ceil(n * 0.90) AS BIGINT))
+           THEN c END) AS p90,
+       max(CASE WHEN rn = GREATEST(1, CAST(ceil(n * 0.99) AS BIGINT))
+           THEN c END) AS p99
+FROM r GROUP BY event_type
+"""
+
+
 TFIDF_TOPK = 5
 
 
@@ -2851,7 +2913,7 @@ def queries_registry():
     * positions 1-11  — the flagship KG pipeline chain + its exact-oracled
       prep stages;
     * positions 12-50 — exact-SQL-oracled queries + this round's ROTATION
-      entries (the window holds 50 of 79 registered queries, so each
+      entries (the window holds 50 of 80 registered queries, so each
       round swaps a few stable, repeatedly-driver-green exact entries
       out for queries that have not yet earned a driver row — round-3
       verdict #5.  Round 4 rotated IN: events_hopping, doc_unigram_ppl,
@@ -2887,7 +2949,7 @@ def queries_registry():
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_rolling_count": q_events_rolling_count,
-        "events_lead_lag": q_events_lead_lag,
+        "events_value_percentiles": q_events_value_percentiles,
         "events_running_value": q_events_running_value,
         "events_pivot": q_events_pivot,
         "doc_keywords": q_doc_keywords,
@@ -2949,6 +3011,8 @@ def queries_registry():
         "orders_events_range_join": q_orders_events_range_join,
         # displaced by the round-4-new doc_keywords (exact); the range
         # join stays locally oracle-verified every check run
+        "events_lead_lag": q_events_lead_lag,  # displaced by the
+        # round-4-new events_value_percentiles (exact grouped selection)
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -3021,6 +3085,7 @@ def oracle_registry():
         "embed_outliers": SQL_EMBED_OUTLIERS,
         "stratified_rebalance": SQL_STRATIFIED_REBALANCE,
         "doc_keywords": SQL_DOC_KEYWORDS,
+        "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,

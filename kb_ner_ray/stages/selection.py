@@ -147,3 +147,86 @@ def quality_buckets(scored_ds, col: str = "nll_bp", *,
                          "bucket": pa.array(b, pa.string())})
 
     return scored_ds.map_batches(label, batch_format="pyarrow")
+
+
+def grouped_exact_kth(ds, group_col: str, value_col: str,
+                      ranks: dict, *, bins: int = BINS) -> dict:
+    """Exact k-th smallest values PER GROUP of an int64 column.
+
+    ``ranks`` maps group -> list of 1-indexed ranks.  Every (group, rank)
+    target shares the same refinement passes: the per-batch histogram is
+    computed for ALL still-active targets at once (rows merge with the
+    broadcast state table on the group key, <= len(ranks-per-group) state
+    rows per data row), so a thousand groups cost the same number of
+    corpus scans as one — ceil(log_bins(range)) after a stats pass.
+    Driver state stays (active targets x bins) counts; values never
+    leave the workers.  Group cardinality must be bounded (class/type
+    keys), matching the ``_tree_agg`` contract the stats pass uses.
+
+    Returns {(group, k): value}."""
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "g": t[group_col].to_numpy(zero_copy_only=False),
+            "v": t[value_col].to_numpy(zero_copy_only=False),
+        }).groupby("g")["v"].agg(["min", "max", "count"]).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+          .groupby("g").agg(lo=("min", "min"), hi=("max", "max"),
+                            n=("count", "sum")))
+    state: dict[tuple, tuple[int, int, int]] = {}
+    for grp, ks in ranks.items():
+        if grp not in st.index:
+            raise ValueError(f"group {grp!r} not present")
+        row = st.loc[grp]
+        for k in ks:
+            if not 1 <= k <= int(row["n"]):
+                raise ValueError(f"rank {k} out of [1, {int(row['n'])}] "
+                                 f"for group {grp!r}")
+            state[(grp, k)] = (int(row["lo"]), int(row["hi"]), int(k))
+    resolved: dict[tuple, int] = {}
+    while state:
+        targets = pd.DataFrame(
+            [(i, grp, lo, hi, max(1, -(-(hi - lo + 1) // bins)))
+             for i, ((grp, _k), (lo, hi, _r)) in enumerate(state.items())],
+            columns=["sid", "g", "lo", "hi", "w"]).drop_duplicates(
+                ["g", "lo", "hi", "w"])
+        tref = ray.put(targets)
+
+        def hist(t: pa.Table) -> pa.Table:
+            tg = ray.get(tref)
+            df = pd.DataFrame({
+                "g": t[group_col].to_numpy(zero_copy_only=False),
+                "v": t[value_col].to_numpy(zero_copy_only=False),
+            }).merge(tg, on="g")
+            df = df[(df["v"] >= df["lo"]) & (df["v"] <= df["hi"])]
+            if not len(df):
+                return pa.table({"sid": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            b = ((df["v"] - df["lo"]) // df["w"]).astype(np.int64)
+            out = (df.assign(bin=b).groupby(["sid", "bin"])
+                   .size().reset_index(name="cnt"))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = (ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+                 .groupby(["sid", "bin"], as_index=False)["cnt"].sum())
+        key_by_range = {(r.g, r.lo, r.hi): (r.sid, r.w)
+                        for r in targets.itertuples()}
+        nxt: dict[tuple, tuple[int, int, int]] = {}
+        for (grp, k), (lo, hi, rem) in state.items():
+            sid, w = key_by_range[(grp, lo, hi)]
+            h = parts[parts["sid"] == sid].sort_values("bin")
+            cum = h["cnt"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, rem))
+            b = int(h["bin"].iloc[j])
+            rem2 = rem - (int(cum[j - 1]) if j else 0)
+            blo = lo + b * w
+            bhi = min(hi, blo + w - 1)
+            if w == 1 or blo == bhi:
+                resolved[(grp, k)] = blo
+            else:
+                nxt[(grp, k)] = (blo, bhi, rem2)
+        state = nxt
+    return resolved

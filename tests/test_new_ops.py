@@ -543,7 +543,7 @@ def test_registry_window_carries_full_signal():
                    "nation_acctbal_minmax", "nation_top3_names",
                    "props_json", "union_sample",
                    "customers_no_urgent_orders",
-                   "orders_events_range_join"}
+                   "orders_events_range_join", "events_lead_lag"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -551,7 +551,8 @@ def test_registry_window_carries_full_signal():
     rotated_in = {"events_hopping", "doc_unigram_ppl", "token_postings",
                   "doc_passage_dedup", "kg_entity_pagerank", "bm25_search",
                   "doc_quality_buckets", "doc_pmi", "embed_outliers",
-                  "stratified_rebalance", "doc_keywords"}
+                  "stratified_rebalance", "doc_keywords",
+                  "events_value_percentiles"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():

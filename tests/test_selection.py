@@ -57,3 +57,47 @@ def test_quality_buckets_ties_go_to_better_bucket(ray_session):
     # (score <= c1), unlike a rank-based NTILE split
     out = quality_buckets(_ds([5] * 9), "nll_bp").to_pandas()
     assert (out["bucket"] == "head").all()
+
+
+def _grp_ds(groups, values, n_blocks=4):
+    t = pa.table({"g": pa.array(list(groups), pa.string()),
+                  "v": pa.array([int(x) for x in values], pa.int64())})
+    return ray.data.from_arrow(t).repartition(n_blocks)
+
+
+def test_grouped_kth_planted(ray_session):
+    from kb_ner_ray.stages.selection import grouped_exact_kth
+
+    ds = _grp_ds("aaabb", [30, 10, 20, 5, 15])
+    got = grouped_exact_kth(ds, "g", "v", {"a": [1, 2, 3], "b": [1, 2]})
+    assert got == {("a", 1): 10, ("a", 2): 20, ("a", 3): 30,
+                   ("b", 1): 5, ("b", 2): 15}
+
+
+def test_grouped_kth_randomized_vs_numpy(ray_session):
+    from kb_ner_ray.stages.selection import grouped_exact_kth
+
+    rng = np.random.default_rng(13)
+    groups = rng.choice(["x", "y", "z"], size=500)
+    vals = rng.integers(-(1 << 35), 1 << 35, size=500)
+    ranks = {}
+    for g in "xyz":
+        n = int((groups == g).sum())
+        ranks[g] = [1, max(1, n // 2), n]
+    got = grouped_exact_kth(_grp_ds(groups, vals, 7), "g", "v", ranks)
+    for g, ks in ranks.items():
+        s = np.sort(vals[groups == g])
+        for k in set(ks):
+            assert got[(g, k)] == int(s[k - 1]), (g, k)
+
+
+def test_grouped_kth_errors(ray_session):
+    import pytest
+
+    from kb_ner_ray.stages.selection import grouped_exact_kth
+
+    ds = _grp_ds("ab", [1, 2])
+    with pytest.raises(ValueError, match="not present"):
+        grouped_exact_kth(ds, "g", "v", {"zz": [1]})
+    with pytest.raises(ValueError, match="out of"):
+        grouped_exact_kth(ds, "g", "v", {"a": [2]})
