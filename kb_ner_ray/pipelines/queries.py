@@ -2410,6 +2410,98 @@ FROM t GROUP BY tok
 """
 
 
+def q_pricing_rollup(sf_dir: str):
+    """ROLLUP grouping sets (OLAP subtotals): price/count by
+    (returnflag, linestatus), by returnflag, and grand total, with 'ALL'
+    sentinels for rolled-up dimensions.  The finest level is a bounded
+    3x2 key space, so per-batch combiners + driver final suffice
+    (_tree_agg contract); every coarser level re-aggregates the FINAL
+    bounded rows — the rollup costs one corpus pass regardless of how
+    many levels it emits.  (Unbounded-dim rollups would instead derive
+    levels through _bucketed_agg chains.)"""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pa.array(_cents(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)), pa.int64())
+        return (t.append_column("c", c)
+                .group_by(["l_returnflag", "l_linestatus"])
+                .aggregate([("c", "sum"), ("c", "count")])
+                .rename_columns(["l_returnflag", "l_linestatus",
+                                 "price_cents", "n"]))
+
+    fine = _tree_agg(ds, ["l_returnflag", "l_linestatus"],
+                     partial, {"price_cents": "sum", "n": "sum"})
+    mid = (fine.groupby("l_returnflag", as_index=False)
+           [["price_cents", "n"]].sum())
+    mid["l_linestatus"] = "ALL"
+    top = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "price_cents": [fine["price_cents"].sum()],
+                        "n": [fine["n"].sum()]})
+    cols = ["l_returnflag", "l_linestatus", "price_cents", "n"]
+    out = pd.concat([fine[cols], mid[cols], top[cols]], ignore_index=True)
+    return out.astype({"price_cents": np.int64, "n": np.int64})
+
+
+SQL_PRICING_ROLLUP = """
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS l_returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+            ELSE l_linestatus END AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS price_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_customer_activity_left(sf_dir: str):
+    """LEFT OUTER equi-join — the join-matrix completion (inner / semi /
+    anti / as-of / range already covered): customers joined to per-user
+    event activity, unmatched customers kept with NULL stats.  Right side
+    pre-aggregates through ONE bucketed combiner shuffle (_bucketed_agg,
+    user ids are unbounded), then the bucketed hash_join(how='left')
+    co-partitions both sides — no broadcast, fixed-width rows only."""
+    from ..stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pa.array(_cents(t["value"].to_numpy(zero_copy_only=False)),
+                     pa.int64())
+        return (t.append_column("c", c)
+                .group_by("user_id")
+                .aggregate([("user_id", "count"), ("c", "sum")])
+                .rename_columns(["user_id", "n_events", "ev_cents"]))
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"), ev_cents=("ev_cents", "sum"))
+        return pa.table({
+            "c_custkey": pa.array(out["user_id"].to_numpy(np.int64)),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+            "ev_cents": pa.array(out["ev_cents"].to_numpy(np.int64)),
+        })
+
+    stats = _bucketed_agg(ev, ["user_id"], partial, final)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return hash_join(cust, stats, on="c_custkey", how="left")
+
+
+SQL_CUSTOMER_ACTIVITY_LEFT = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS ev_cents
+  FROM events GROUP BY user_id)
+SELECT c.c_custkey, c.c_nationkey, ev.n_events, ev.ev_cents
+FROM customer c LEFT JOIN ev ON ev.user_id = c.c_custkey
+"""
+
+
 def q_events_value_percentiles(sf_dir: str):
     """EXACT p50/p90/p99 of the event value per event_type — grouped
     distributed selection (stages/selection.py grouped_exact_kth): all
@@ -2913,7 +3005,7 @@ def queries_registry():
     * positions 1-11  — the flagship KG pipeline chain + its exact-oracled
       prep stages;
     * positions 12-50 — exact-SQL-oracled queries + this round's ROTATION
-      entries (the window holds 50 of 80 registered queries, so each
+      entries (the window holds 50 of 82 registered queries, so each
       round swaps a few stable, repeatedly-driver-green exact entries
       out for queries that have not yet earned a driver row — round-3
       verdict #5.  Round 4 rotated IN: events_hopping, doc_unigram_ppl,
@@ -2950,10 +3042,10 @@ def queries_registry():
         "events_sessionize": q_events_sessionize,
         "events_rolling_count": q_events_rolling_count,
         "events_value_percentiles": q_events_value_percentiles,
-        "events_running_value": q_events_running_value,
+        "customer_activity_left": q_customer_activity_left,
         "events_pivot": q_events_pivot,
         "doc_keywords": q_doc_keywords,
-        "nation_median_acctbal": q_nation_median_acctbal,
+        "pricing_rollup": q_pricing_rollup,
         "doc_quality_buckets": q_doc_quality_buckets,
         "doc_passage_dedup": q_doc_passage_dedup,
         "kg_entity_pagerank": q_kg_entity_pagerank,
@@ -3013,6 +3105,11 @@ def queries_registry():
         # join stays locally oracle-verified every check run
         "events_lead_lag": q_events_lead_lag,  # displaced by the
         # round-4-new events_value_percentiles (exact grouped selection)
+        "events_running_value": q_events_running_value,  # displaced by
+        # the round-4-new customer_activity_left (LEFT OUTER join)
+        "nation_median_acctbal": q_nation_median_acctbal,  # displaced
+        # by the round-4-new pricing_rollup (grouping sets); grouped
+        # medians are now also covered exactly by events_value_percentiles
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -3086,6 +3183,8 @@ def oracle_registry():
         "stratified_rebalance": SQL_STRATIFIED_REBALANCE,
         "doc_keywords": SQL_DOC_KEYWORDS,
         "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
+        "customer_activity_left": SQL_CUSTOMER_ACTIVITY_LEFT,
+        "pricing_rollup": SQL_PRICING_ROLLUP,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,

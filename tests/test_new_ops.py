@@ -543,7 +543,8 @@ def test_registry_window_carries_full_signal():
                    "nation_acctbal_minmax", "nation_top3_names",
                    "props_json", "union_sample",
                    "customers_no_urgent_orders",
-                   "orders_events_range_join", "events_lead_lag"}
+                   "orders_events_range_join", "events_lead_lag",
+                   "events_running_value", "nation_median_acctbal"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -552,7 +553,8 @@ def test_registry_window_carries_full_signal():
                   "doc_passage_dedup", "kg_entity_pagerank", "bm25_search",
                   "doc_quality_buckets", "doc_pmi", "embed_outliers",
                   "stratified_rebalance", "doc_keywords",
-                  "events_value_percentiles"}
+                  "events_value_percentiles", "customer_activity_left",
+                  "pricing_rollup"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
