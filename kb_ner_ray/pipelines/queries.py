@@ -2410,6 +2410,61 @@ FROM t GROUP BY tok
 """
 
 
+def q_activity_reconcile_outer(sf_dir: str):
+    """FULL OUTER equi-join (reconciliation shape: rows from EITHER side
+    survive with nulls opposite): per-user event counts vs per-customer
+    order counts over the custkey range [145, 155] — left-only users
+    (0..144), matched keys (145..149), and right-only customers
+    (150..155) all appear.  Both sides
+    pre-aggregate through bucketed combiners; the bucketed hash join's
+    outer mode appends each bucket's never-matched right rows after the
+    chunk-safe left merge (co-partitioning keeps a key's rows in one
+    bucket, so 'never matched' is decidable bucket-locally)."""
+    from ..stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("user_id").aggregate([("user_id", "count")])
+                .rename_columns(["user_id", "n_events"]))
+
+    def ev_final(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("user_id", as_index=False)["n_events"].sum()
+        return pa.table({
+            "uid": pa.array(out["user_id"].to_numpy(np.int64)),
+            "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+        })
+
+    left = _bucketed_agg(ev, ["user_id"], ev_partial, ev_final)
+
+    od = _read(sf_dir, "orders", columns=["o_custkey"]).filter(
+        expr="o_custkey >= 145 and o_custkey <= 155")
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+                .rename_columns(["o_custkey", "n_orders"]))
+
+    def od_final(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("o_custkey", as_index=False)["n_orders"].sum()
+        return pa.table({
+            "uid": pa.array(out["o_custkey"].to_numpy(np.int64)),
+            "n_orders": pa.array(out["n_orders"].to_numpy(np.int64)),
+        })
+
+    right = _bucketed_agg(od, ["o_custkey"], od_partial, od_final)
+    return hash_join(left, right, on="uid", how="outer")
+
+
+SQL_ACTIVITY_RECONCILE_OUTER = """
+WITH ev AS (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id),
+od AS (SELECT o_custkey AS uid, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders WHERE o_custkey BETWEEN 145 AND 155 GROUP BY o_custkey)
+SELECT COALESCE(ev.uid, od.uid) AS uid, ev.n_events, od.n_orders
+FROM ev FULL OUTER JOIN od ON ev.uid = od.uid
+"""
+
+
 def q_pricing_rollup(sf_dir: str):
     """ROLLUP grouping sets (OLAP subtotals): price/count by
     (returnflag, linestatus), by returnflag, and grand total, with 'ALL'
@@ -3005,7 +3060,7 @@ def queries_registry():
     * positions 1-11  — the flagship KG pipeline chain + its exact-oracled
       prep stages;
     * positions 12-50 — exact-SQL-oracled queries + this round's ROTATION
-      entries (the window holds 50 of 82 registered queries, so each
+      entries (the window holds 50 of 83 registered queries, so each
       round swaps a few stable, repeatedly-driver-green exact entries
       out for queries that have not yet earned a driver row — round-3
       verdict #5.  Round 4 rotated IN: events_hopping, doc_unigram_ppl,
@@ -3040,7 +3095,7 @@ def queries_registry():
         "token_postings": q_token_postings,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
-        "events_rolling_count": q_events_rolling_count,
+        "activity_reconcile_outer": q_activity_reconcile_outer,
         "events_value_percentiles": q_events_value_percentiles,
         "customer_activity_left": q_customer_activity_left,
         "events_pivot": q_events_pivot,
@@ -3110,6 +3165,9 @@ def queries_registry():
         "nation_median_acctbal": q_nation_median_acctbal,  # displaced
         # by the round-4-new pricing_rollup (grouping sets); grouped
         # medians are now also covered exactly by events_value_percentiles
+        "events_rolling_count": q_events_rolling_count,  # displaced by
+        # the round-4-new activity_reconcile_outer (FULL OUTER join);
+        # still bench-timed every run
         "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
         # pinned exactly by test_new_ops — demoted for the salted-groupby
         # exact query (round 3)
@@ -3185,6 +3243,7 @@ def oracle_registry():
         "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
         "customer_activity_left": SQL_CUSTOMER_ACTIVITY_LEFT,
         "pricing_rollup": SQL_PRICING_ROLLUP,
+        "activity_reconcile_outer": SQL_ACTIVITY_RECONCILE_OUTER,
         "union_sample": SQL_UNION_SAMPLE,
         "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
         "corpus_stats": SQL_CORPUS_STATS,

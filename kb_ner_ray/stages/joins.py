@@ -76,19 +76,28 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int | None = None,
         # pandas' hash merge spikes to build-table + full-output at once.
         # Chunking the left (probe) frame bounds the per-merge working set
         # so an oversized bucket degrades gracefully instead of OOMing the
-        # reducer.  Sound for inner/left joins only (each probe row joins
-        # independently); this operator supports exactly those.
-        if how not in ("inner", "left"):
-            raise ValueError(f"unsupported how={how!r} (inner/left only)")
+        # reducer.  Sound because each probe row joins independently;
+        # 'outer' decomposes into the chunk-safe left join plus the
+        # right rows whose key appears in NO left row (computed once per
+        # bucket with a vectorized isin — co-partitioning guarantees a
+        # key's rows are all in this bucket).
+        if how not in ("inner", "left", "outer"):
+            raise ValueError(
+                f"unsupported how={how!r} (inner/left/outer only)")
+        lhow = "left" if how == "outer" else how
         if len(lg) <= MERGE_CHUNK_ROWS:
-            joined = lg.merge(rg, on=on, how=how)
+            joined = lg.merge(rg, on=on, how=lhow)
         else:
             import numpy as np
 
             joined = pd.concat(
-                [c.merge(rg, on=on, how=how) for c in np.array_split(
+                [c.merge(rg, on=on, how=lhow) for c in np.array_split(
                     lg, -(-len(lg) // MERGE_CHUNK_ROWS))],
                 ignore_index=True)
+        if how == "outer":
+            r_only = rg[~rg[on].isin(lg[on])]
+            if len(r_only):
+                joined = pd.concat([joined, r_only], ignore_index=True)
         # the null-widened union floats integer columns; restore dtypes
         for c in int_cols:
             if c in joined.columns and joined[c].notna().all():

@@ -544,7 +544,8 @@ def test_registry_window_carries_full_signal():
                    "props_json", "union_sample",
                    "customers_no_urgent_orders",
                    "orders_events_range_join", "events_lead_lag",
-                   "events_running_value", "nation_median_acctbal"}
+                   "events_running_value", "nation_median_acctbal",
+                   "events_rolling_count"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -554,7 +555,7 @@ def test_registry_window_carries_full_signal():
                   "doc_quality_buckets", "doc_pmi", "embed_outliers",
                   "stratified_rebalance", "doc_keywords",
                   "events_value_percentiles", "customer_activity_left",
-                  "pricing_rollup"}
+                  "pricing_rollup", "activity_reconcile_outer"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
@@ -689,3 +690,38 @@ def test_dedup_stream_on_synth_docs(ray_session):
     got = dedup_stream(ds, n_buckets=4)["doc_id"].tolist()
     want = sorted(exact_dedup(ds).to_pandas()["doc_id"])
     assert got == want
+
+
+def test_hash_join_outer_matches_pandas(ray_session):
+    """FULL OUTER: left-only, matched, and right-only keys all survive,
+    including through the chunked-probe path (MERGE_CHUNK_ROWS=1 via a
+    planted oversized bucket is covered by the chunk tests; here n is
+    small so the direct path runs — semantics are identical)."""
+    import pandas as pd
+    import ray as _ray
+
+    from kb_ner_ray.stages.joins import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 2, 3], pa.int64()),
+                     "lv": ["a", "b", "c", "d"]})
+    right = pa.table({"k": pa.array([2, 4, 4, 5], pa.int64()),
+                      "rv": pa.array([20, 40, 41, 50], pa.int64())})
+    got = hash_join(_ray.data.from_arrow(left), _ray.data.from_arrow(right),
+                    on="k", n_buckets=3, how="outer").to_pandas()
+    want = left.to_pandas().merge(right.to_pandas(), on="k", how="outer")
+    key = ["k", "lv", "rv"]
+
+    def norm(df):
+        df = df[key].copy()
+        for c in key:
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+        return sorted(map(tuple, df.itertuples(index=False)),
+                      key=lambda t: tuple((x is None, x) for x in t))
+
+    assert norm(got) == norm(want)
+    # unsupported modes still raise
+    import pytest
+
+    with pytest.raises(Exception):
+        hash_join(_ray.data.from_arrow(left), _ray.data.from_arrow(right),
+                  on="k", how="right").to_pandas()
