@@ -3064,11 +3064,19 @@ def queries_registry():
       round swaps a few stable, repeatedly-driver-green exact entries
       out for queries that have not yet earned a driver row — round-3
       verdict #5.  Round 4 rotated IN: events_hopping, doc_unigram_ppl,
-      token_postings (exact, previously overflow), doc_passage_dedup,
-      kg_entity_pagerank (rows-only).  Rotated OUT: top_orders,
-      customer_rollup, part_filter_topk, doc_token_explode,
-      distinct_users — driver-green in r1-r3, still verified by every
-      tools/check_queries.py run);
+      token_postings, doc_passage_dedup, kg_entity_pagerank (rows-only),
+      plus the ten round-4-NEW exact queries (bm25_search,
+      doc_quality_buckets, doc_pmi, embed_outliers, stratified_rebalance,
+      doc_keywords, events_value_percentiles, customer_activity_left,
+      pricing_rollup, activity_reconcile_outer).  Rotated OUT (all
+      driver-green in r1-r3, still verified by every
+      tools/check_queries.py run): top_orders, customer_rollup,
+      part_filter_topk, doc_token_explode, distinct_users,
+      nation_acctbal_minmax, nation_top3_names, props_json, union_sample,
+      customers_no_urgent_orders, orders_events_range_join,
+      events_lead_lag, events_running_value, nation_median_acctbal,
+      events_rolling_count — the guard test's rotated_in/out sets pin
+      this list against the dict below);
     * positions 51+   — rows-only sketches/heuristics, the multimodal
       trio, and the rotated-out exact entries; plan-parity variants
       remain unregistered with pytest pins.

@@ -290,12 +290,18 @@ def banding_candidate_stats(rows_ds, key_col: str):
 # ---- exact dedup ------------------------------------------------------------
 
 
+def content_md5(texts) -> list[str]:
+    """THE exact-dedup content-hash contract (md5 of utf-8 text), shared
+    by the batch plan and the streaming ingest dedup so the two can
+    never silently diverge."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
 def add_content_hash(batch: pa.Table) -> pa.Table:
     from .partitioning import default_buckets
 
     n_salt = default_buckets()  # reducer fan-out follows the cluster
-    h = [hashlib.md5(t.encode("utf-8")).hexdigest()
-         for t in batch.column("text").to_pylist()]
+    h = content_md5(batch.column("text").to_pylist())
     t = batch.append_column("content_hash", pa.array(h, pa.string()))
     # coarse shuffle key: salt buckets instead of |distinct hashes|
     # groups — per-group dispatch must stay O(buckets), not O(corpus)

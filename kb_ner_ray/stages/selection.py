@@ -60,6 +60,24 @@ def _col_stats(ds, col: str) -> tuple[int, int, int]:
         int(parts["n"].sum())
 
 
+def _advance(h: pd.DataFrame, lo: int, hi: int, w: int, rem: int):
+    """One refinement step of the rank walk, shared by the global and
+    grouped selectors: given this range's combined (bin, cnt) histogram,
+    locate the bin containing the rem-th smallest value.  Returns
+    (True, value) when the bin width is 1 (resolved), else
+    (False, (new_lo, new_hi, new_rem))."""
+    h = h.sort_values("bin")
+    cum = h["cnt"].cumsum().to_numpy()
+    j = int(np.searchsorted(cum, rem))
+    b = int(h["bin"].iloc[j])
+    rem2 = rem - (int(cum[j - 1]) if j else 0)
+    blo = lo + b * w
+    bhi = min(hi, blo + w - 1)
+    if w == 1 or blo == bhi:
+        return True, blo
+    return False, (blo, bhi, rem2)
+
+
 def exact_kth_smallest(ds, col: str, ks: list[int], *,
                        bins: int = BINS) -> dict[int, int]:
     """Exact k-th smallest values (1-indexed ranks) of an int64 column.
@@ -101,18 +119,12 @@ def exact_kth_smallest(ds, col: str, ks: list[int], *,
         nxt: dict[int, tuple[int, int, int]] = {}
         for k, (lo, hi, rem) in state.items():
             i = ranges.index((lo, hi))
-            w = widths[i]
-            h = parts[parts["rid"] == i].sort_values("bin")
-            cum = h["cnt"].cumsum().to_numpy()
-            j = int(np.searchsorted(cum, rem))
-            b = int(h["bin"].iloc[j])
-            rem2 = rem - (int(cum[j - 1]) if j else 0)
-            blo = lo + b * w
-            bhi = min(hi, blo + w - 1)
-            if w == 1 or blo == bhi:
-                resolved[k] = blo
+            done, res = _advance(parts[parts["rid"] == i],
+                                 lo, hi, widths[i], rem)
+            if done:
+                resolved[k] = res
             else:
-                nxt[k] = (blo, bhi, rem2)
+                nxt[k] = res
         state = nxt
     return resolved
 
@@ -217,16 +229,11 @@ def grouped_exact_kth(ds, group_col: str, value_col: str,
         nxt: dict[tuple, tuple[int, int, int]] = {}
         for (grp, k), (lo, hi, rem) in state.items():
             sid, w = key_by_range[(grp, lo, hi)]
-            h = parts[parts["sid"] == sid].sort_values("bin")
-            cum = h["cnt"].cumsum().to_numpy()
-            j = int(np.searchsorted(cum, rem))
-            b = int(h["bin"].iloc[j])
-            rem2 = rem - (int(cum[j - 1]) if j else 0)
-            blo = lo + b * w
-            bhi = min(hi, blo + w - 1)
-            if w == 1 or blo == bhi:
-                resolved[(grp, k)] = blo
+            done, res = _advance(parts[parts["sid"] == sid],
+                                 lo, hi, w, rem)
+            if done:
+                resolved[(grp, k)] = res
             else:
-                nxt[(grp, k)] = (blo, bhi, rem2)
+                nxt[(grp, k)] = res
         state = nxt
     return resolved

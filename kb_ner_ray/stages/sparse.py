@@ -195,8 +195,9 @@ def tfidf_keywords(docs_ds, *, k: int = 5, text_col: str = "text",
     Plan — two bucketed shuffles of FIXED-WIDTH rows, the text never
     moves after tokenization and nothing is broadcast:
 
-    * per-batch (doc, tok, tf) pre-aggregation (vectorized tokenizer),
-      one scalar N-partial row per batch riding along;
+    * N (total docs) from ``docs_ds.count()`` — parquet metadata for a
+      bare read, at worst one column-pruned pass;
+    * per-batch (doc, tok, tf) pre-aggregation (vectorized tokenizer);
     * shuffle 1 on hash(tok): each reducer sees a token's full posting,
       computes df locally and emits scored rows;
     * shuffle 2 on hash(doc): each reducer holds complete docs and cuts
@@ -210,13 +211,10 @@ def tfidf_keywords(docs_ds, *, k: int = 5, text_col: str = "text",
 
     nb = default_buckets()
 
-    # N (total docs) via a bounded scalar pass — reuses the stats pass
-    # shape; one row per batch reaches the driver.
-    def n_partial(t: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array([len(t)], pa.int64())})
-
-    n_docs = int(docs_ds.map_batches(
-        n_partial, batch_format="pyarrow").to_pandas()["n"].sum())
+    # count() answers from parquet metadata on a bare read — no text
+    # bytes move just to learn N (review finding: the previous dedicated
+    # map_batches pass re-read the whole corpus)
+    n_docs = int(docs_ds.count())
 
     def tf_rows(t: pa.Table) -> pa.Table:
         flat, di, _len = _tokenize_batch(t, text_col)

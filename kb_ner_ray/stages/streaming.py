@@ -237,10 +237,6 @@ class DedupBucket:
                 accepted.append(i)
         return accepted
 
-    def stats(self) -> tuple[int, int]:
-        return len(self.seen), sum(self.seen.values())
-
-
 def dedup_stream(docs_ds, n_buckets: int = 8,
                  simulate_ordered: bool = True) -> pd.DataFrame:
     """Ingest-time exact dedup: first occurrence of each content hash is
@@ -253,16 +249,15 @@ def dedup_stream(docs_ds, n_buckets: int = 8,
     bucket actor owning hash % n_buckets.  ``simulate_ordered=True``
     sorts the bounded stand-in table by doc_id to simulate an ingest log;
     a real feed passes False and is consumed as-is (arrival order IS the
-    dedup policy — no contract to enforce).  Returns the accepted
-    (doc_id, content_hash) rows."""
-    import hashlib
+    dedup policy — no contract to enforce).  Returns the accepted doc
+    ids as pandas (doc_id), sorted."""
+    from .dedup import content_md5  # the SHARED batch-plan hash contract
 
     actors = [DedupBucket.remote() for _ in range(n_buckets)]
     src = docs_ds.sort("doc_id") if simulate_ordered else docs_ds
     kept: list[list[int]] = []
     for batch in src.iter_batches(batch_size=4096, batch_format="pandas"):
-        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
-              for t in batch["text"]]
+        hs = content_md5(batch["text"])
         ids = batch["doc_id"].astype(int).tolist()
         routed: dict[int, tuple[list, list]] = {}
         for h, i in zip(hs, ids):

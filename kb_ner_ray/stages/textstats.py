@@ -45,12 +45,12 @@ def doc_token_stats(batch: pa.Table) -> pa.Table:
     keep_cnt = pc.count_substring_regex(texts, r"[a-zA-Z0-9_ \t\n]")
     punct = pc.subtract(pc.cast(n_chars, pa.int64()),
                         pc.cast(keep_cnt, pa.int64()))
-    _f, _di, n_tokens = _tokenize_batch(batch, "text")
-    low = batch.set_column(batch.schema.get_field_index("text"), "text",
-                           pc.utf8_lower(texts))
-    lf, ldi, _ln = _tokenize_batch(low, "text")
-    sw = pc.is_in(lf, value_set=pa.array(sorted(STOPWORDS), pa.string()))
-    stop = np.bincount(ldi, weights=sw.to_numpy(zero_copy_only=False),
+    flat, di, n_tokens = _tokenize_batch(batch, "text")
+    # ONE tokenize: lowercasing never creates or removes whitespace, so
+    # lower(tokens-of(text)) == tokens-of(lower(text)) token for token
+    sw = pc.is_in(pc.utf8_lower(flat),
+                  value_set=pa.array(sorted(STOPWORDS), pa.string()))
+    stop = np.bincount(di, weights=sw.to_numpy(zero_copy_only=False),
                        minlength=len(batch)).astype(np.int64)
     return pa.table(
         {

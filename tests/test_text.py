@@ -161,3 +161,29 @@ def test_splitter_backend_seam():
     assert split_sentences("Dr. Smith arrived .") == \
         ["Dr.", "Smith arrived ."]
     assert split_sentences("Wait... what ?") == ["Wait...", "what ?"]
+
+
+def test_doc_langid_batch_matches_detect_lang():
+    """The vectorized doc_langid voting path must reproduce the scalar
+    detect_lang reference on every case class: CJK precedence, per-lang
+    stopword wins, sorted-first tie rule, zero-vote 'und', empty text."""
+    import pyarrow as pa
+
+    from kb_ner_ray.stages.textstats import detect_lang, doc_langid
+
+    texts = [
+        "the cat and the hat is it",          # en
+        "der hund und die katze ist von",     # de
+        "le chat et la vie est des",          # fr
+        "el gato y la casa es de",            # es
+        "mixed 你好 the and of",               # CJK beats stopword votes
+        "",                                    # empty -> und
+        "zzz qqq www",                         # no votes -> und
+        "de la",    # fr={la, de...}? tie classes resolve sorted-first
+        "und ist",                             # de words only
+    ]
+    b = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = doc_langid(b).column("pred_lang").to_pylist()
+    want = [detect_lang(t) for t in texts]
+    assert got == want
