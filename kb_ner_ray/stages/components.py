@@ -254,11 +254,13 @@ def near_dup_keep(docs_ds, pairs_ds, id_col: str = "doc_id",
     through untouched.  One bucketed anti-join of the docs against the
     drop-set (component members with node != component) — exact: a Bloom
     prefilter is unsound for ANTI semantics (joins.py)."""
+    from .partitioning import ensure_arrow
+
     nb = n_buckets or default_buckets()
     comps = components_from_pairs(pairs_ds, a_col=a_col, b_col=b_col,
                                   n_buckets=nb)
 
-    schema = docs_ds.schema()
+    docs_ds, schema = ensure_arrow(docs_ds)
     doc_cols = list(schema.names)
     doc_types = dict(zip(schema.names, schema.types))
 

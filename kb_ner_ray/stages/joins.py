@@ -30,10 +30,12 @@ def hash_join(left_ds, right_ds, on: str, n_buckets: int | None = None,
     Non-key column names must be disjoint between the sides (no suffixing —
     keep the dataflow explicit).  Returns a Dataset with L ∪ R columns.
     """
+    from .partitioning import ensure_arrow
+
     if n_buckets is None:
         n_buckets = default_buckets()
-    left_schema = left_ds.schema()
-    right_schema = right_ds.schema()
+    left_ds, left_schema = ensure_arrow(left_ds)
+    right_ds, right_schema = ensure_arrow(right_ds)
     l_cols = list(left_schema.names)
     r_cols = list(right_schema.names)
     overlap = (set(l_cols) & set(r_cols)) - {on}
@@ -138,9 +140,12 @@ def asof_join(left_ds, right_ds, left_ts: str, right_ts: str,
     Output: left columns + right's non-by columns (``right_ts`` included).
     Non-key column names must be disjoint.
     """
+    from .partitioning import ensure_arrow
+
     if n_buckets is None:
         n_buckets = default_buckets()
-    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    left_ds, l_schema = ensure_arrow(left_ds)
+    right_ds, r_schema = ensure_arrow(right_ds)
     l_cols, r_cols = list(l_schema.names), list(r_schema.names)
     overlap = set(l_cols) & set(r_cols)
     if overlap:
@@ -243,7 +248,9 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
             return t.filter(pa.array(bf.contains_many(t[on])))
 
         left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
-    l_schema = left_ds.schema()
+    from .partitioning import ensure_arrow
+
+    left_ds, l_schema = ensure_arrow(left_ds)
     l_cols = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
 

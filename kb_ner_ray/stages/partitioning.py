@@ -113,3 +113,20 @@ def bucket_array(values, n_buckets: int) -> np.ndarray:
         arr = np.asarray(values)
     h = pd.util.hash_array(arr, categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def ensure_arrow(ds):
+    """(ds, schema) with a guaranteed pyarrow schema.
+
+    Datasets whose upstream stage returned pandas blocks report a
+    PandasBlockSchema (numpy/python types); operators that null-widen
+    with ``pa.nulls(n, type)`` need real Arrow types, so such inputs are
+    rewrapped through an identity Arrow map_batches first (zero-copy for
+    columns Arrow can represent)."""
+    import pyarrow as pa
+
+    schema = ds.schema()
+    if all(isinstance(t, pa.DataType) for t in schema.types):
+        return ds, schema
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    return ds, ds.schema()

@@ -298,6 +298,11 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
         })
 
     sc = counts_ds.map_batches(scalars, batch_format="pyarrow").to_pandas()
+    if not len(sc):
+        # a zero-block dataset also loses its columns through to_pandas,
+        # so this must be caught here, not at the column lookup
+        raise ValueError("unigram_ppl over an empty corpus (every doc "
+                         "was filtered out upstream?)")
     total = float(sc["total"].sum())
     oov_mass = float(sc["oov"].sum())
     # Unused when oov_mass == 0 (scoring the training corpus, every token

@@ -188,3 +188,36 @@ def test_config_quality_buckets_stage(ray_session, tmp_path):
     want = set(labeled.loc[labeled["bucket"] != "tail", "doc_id"])
     assert set(kept["doc_id"]) == want
     assert "text" in kept.columns   # the DOC stream survives, labeled out
+
+
+def test_config_full_cleaning_chain(ray_session, tmp_path):
+    """A realistic cleaning recipe composes from YAML alone:
+    gopher filter -> CCNet quality keep -> near-dup drop — each stage
+    consumes the previous stage's doc stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"word{i}" for i in range(60))
+    texts = [base,                            # canonical
+             base.replace("word59", "zzzz59"),  # near-dup of base
+             " ".join(f"item{i}" for i in range(55)),  # distinct, passes
+             "#### #### ####"]                # fails gopher r_words/symbol
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "p.parquet"))
+
+    cfg = PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("quality_filter"),
+                StageConfig("quality_buckets",
+                            {"keep": "head,middle,tail"}),  # label+pass
+                StageConfig("near_dup_keep",
+                            {"method": "jaccard", "threshold": 0.5})])
+    kept = (build_pipeline(cfg).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    # 3 dies at the gopher gate, 1 dies as a near-dup of 0
+    assert kept["doc_id"].tolist() == [0, 2]
+    assert "text" in kept.columns
