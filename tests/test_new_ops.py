@@ -545,7 +545,7 @@ def test_registry_window_carries_full_signal():
                    "customers_no_urgent_orders",
                    "orders_events_range_join", "events_lead_lag",
                    "events_running_value", "nation_median_acctbal",
-                   "events_rolling_count"}
+                   "events_rolling_count", "orders_lineitem_join"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -555,7 +555,8 @@ def test_registry_window_carries_full_signal():
                   "doc_quality_buckets", "doc_pmi", "embed_outliers",
                   "stratified_rebalance", "doc_keywords",
                   "events_value_percentiles", "customer_activity_left",
-                  "pricing_rollup", "activity_reconcile_outer"}
+                  "pricing_rollup", "activity_reconcile_outer",
+                  "doc_quality_buckets_by_lang"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
