@@ -545,7 +545,8 @@ def test_registry_window_carries_full_signal():
                    "customers_no_urgent_orders",
                    "orders_events_range_join", "events_lead_lag",
                    "events_running_value", "nation_median_acctbal",
-                   "events_rolling_count", "orders_lineitem_join"}
+                   "events_rolling_count", "orders_lineitem_join",
+                   "events_hourly"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -556,7 +557,7 @@ def test_registry_window_carries_full_signal():
                   "stratified_rebalance", "doc_keywords",
                   "events_value_percentiles", "customer_activity_left",
                   "pricing_rollup", "activity_reconcile_outer",
-                  "doc_quality_buckets_by_lang"}
+                  "doc_quality_buckets_by_lang", "corpus_lang_stats"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
