@@ -411,3 +411,138 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
+               max_model_bytes: int = 1 << 30):
+    """Corpus-trained BIGRAM negative-log-likelihood per document — the
+    next LM-quality rung above ``unigram_ppl`` on the CCNet/KenLM ladder
+    (real deployments use a 5-gram KenLM; the prune-and-smooth shape is
+    the same at every order).
+
+    Model: P(b | a) = c(a,b) / c1(a) where c1(a) counts a's bigram
+    CONTEXTS (positions followed by another token).  Bigrams below
+    ``min_count`` are pruned per context and their mass collapses into
+    one per-context floor class: -ln(oov_mass(a) / c1(a)) — every
+    context seen at scoring time exists in training (same corpus), so
+    no global fallback is needed.
+
+    Plan: pass 1 pre-aggregates per-batch ORDERED consecutive pairs
+    (vectorized shifted arrays; a doc's tokens are contiguous in its
+    batch) and shuffles ONCE on hash(context) so a context's bigrams
+    and its floor reduce together; the pruned model is measured and
+    byte-gated BEFORE broadcast (raises like unigram_ppl's gate); pass 2
+    scores batches with two pandas merges (bigram hit, else context
+    floor) and per-doc bincount sums.  Docs with < 2 tokens have no
+    bigrams: n_bigrams = 0 and nll_bp = 0 (mirrored by the oracle's
+    COALESCE).  Returns Dataset(doc_id, n_bigrams, nll_bp)."""
+    import numpy as np
+    import ray
+
+    from .partitioning import bucket_array, default_buckets
+    from .sparse import _tokenize_batch
+
+    nb = n_buckets or default_buckets()
+    mc = int(min_count)
+
+    def _pairs(t: pa.Table):
+        flat, di, _len = _tokenize_batch(t, "text")
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return None
+        same = di[:-1] == di[1:]
+        return toks[:-1][same], toks[1:][same], di[:-1][same]
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64()),
+                          "__b": pa.array([], pa.int32())})
+        got = _pairs(t)
+        if got is None:
+            return empty
+        a, b, _d = got
+        if not len(a):
+            return empty
+        import pandas as pd
+
+        cnt = (pd.DataFrame({"a": a, "b": b})
+               .groupby(["a", "b"], sort=False).size().reset_index(name="c"))
+        out = pa.table({"a": pa.array(cnt["a"].to_numpy(object), pa.string()),
+                        "b": pa.array(cnt["b"].to_numpy(object), pa.string()),
+                        "c": pa.array(cnt["c"].to_numpy(np.int64))})
+        return out.append_column(
+            "__b", pa.array(bucket_array(out["a"], nb), pa.int32()))
+
+    def reduce_context(g) -> pa.Table:
+        import pandas as pd
+
+        c2 = g.groupby(["a", "b"], as_index=False)["c"].sum()
+        c1 = c2.groupby("a")["c"].transform("sum").to_numpy(np.float64)
+        cv = c2["c"].to_numpy(np.int64)
+        kept = cv >= mc
+        logp = -np.log(cv[kept] / c1[kept])
+        # per-context floor from the pruned mass (contexts with nothing
+        # pruned emit no floor row — scoring can never need it, every
+        # surviving (a,b) is in the kept table)
+        pr = pd.DataFrame({"a": c2["a"], "pruned": np.where(kept, 0, cv),
+                           "n": c1})
+        fl = pr.groupby("a", as_index=False).agg(pruned=("pruned", "sum"),
+                                                 n=("n", "first"))
+        fl = fl[fl["pruned"] > 0]
+        floor_logp = -np.log(fl["pruned"].to_numpy(np.float64)
+                             / fl["n"].to_numpy(np.float64))
+        return pa.table({
+            "a": pa.array(list(c2["a"][kept]) + list(fl["a"]), pa.string()),
+            "b": pa.array(list(c2["b"][kept]) + [None] * len(fl),
+                          pa.string()),
+            "logp": pa.array(np.concatenate([logp, floor_logp]),
+                             pa.float64()),
+        })
+
+    model = (docs_ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("__b")
+             .map_groups(reduce_context, batch_format="pandas")
+             .materialize())
+    mbytes = model.size_bytes() or 0
+    if mbytes > max_model_bytes:
+        raise ValueError(
+            f"bigram_ppl: pruned model is {mbytes} bytes "
+            f"(> {max_model_bytes}); raise min_count or max_model_bytes")
+    mdf = model.to_pandas()
+    import pandas as pd
+
+    big = mdf[mdf["b"].notna()][["a", "b", "logp"]]
+    flo = (mdf[mdf["b"].isna()][["a", "logp"]]
+           .rename(columns={"logp": "floor"}))
+    ref = ray.put((big, flo))
+
+    def score(t: pa.Table) -> pa.Table:
+        bg, fl = ray.get(ref)
+        n_docs = len(t)
+        got = _pairs(t)
+        if got is None or not len(got[0]):
+            z = np.zeros(n_docs, np.int64)
+            return pa.table({"doc_id": t["doc_id"],
+                             "n_bigrams": pa.array(z),
+                             "nll_bp": pa.array(z)})
+        a, b, d = got
+        df = pd.DataFrame({"a": a, "b": b, "d": d})
+        df = df.merge(bg, on=["a", "b"], how="left")
+        miss = df["logp"].isna()
+        if miss.any():
+            sub = df.loc[miss, ["a"]].merge(fl, on="a", how="left")
+            df.loc[miss, "logp"] = sub["floor"].to_numpy()
+        v = df["logp"].to_numpy(np.float64)
+        dd = df["d"].to_numpy(np.int64)
+        sums = np.bincount(dd, weights=v, minlength=n_docs)
+        cnts = np.bincount(dd, minlength=n_docs).astype(np.int64)
+        avg = np.divide(sums, cnts, out=np.zeros(n_docs), where=cnts > 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": pa.array(cnts),
+            "nll_bp": pa.array(np.floor(avg * 10_000 + 0.5)
+                               .astype(np.int64)),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -546,7 +546,7 @@ def test_registry_window_carries_full_signal():
                    "orders_events_range_join", "events_lead_lag",
                    "events_running_value", "nation_median_acctbal",
                    "events_rolling_count", "orders_lineitem_join",
-                   "events_hourly"}
+                   "events_hourly", "ngram_jaccard"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -557,7 +557,8 @@ def test_registry_window_carries_full_signal():
                   "stratified_rebalance", "doc_keywords",
                   "events_value_percentiles", "customer_activity_left",
                   "pricing_rollup", "activity_reconcile_outer",
-                  "doc_quality_buckets_by_lang", "corpus_lang_stats"}
+                  "doc_quality_buckets_by_lang", "corpus_lang_stats",
+                  "doc_bigram_ppl"}
     assert rotated_in <= window, rotated_in - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
@@ -727,3 +728,39 @@ def test_hash_join_outer_matches_pandas(ray_session):
     with pytest.raises(Exception):
         hash_join(_ray.data.from_arrow(left), _ray.data.from_arrow(right),
                   on="k", how="right").to_pandas()
+
+
+def test_bigram_ppl_planted(ray_session):
+    """Hand-checkable bigram model over one doc 'b x b x b y' (+ a
+    1-token doc): bigrams (b,x)x2 kept, (x,b)x2 kept, (b,y)x1 pruned.
+    c1(b)=3, c1(x)=2 -> kept (b,x): -ln(2/3); (x,b): -ln(2/2)=0;
+    b's floor (pruned mass 1): -ln(1/3)."""
+    import math
+
+    from kb_ner_ray.stages.textstats import bigram_ppl
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["b x b x b y", "z"], pa.string()),
+    })
+    out = (bigram_ppl(ray.data.from_arrow(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_bigrams"].tolist() == [5, 0]
+    assert out.loc[1, "nll_bp"] == 0
+    # positions: (b,x), (x,b), (b,x), (x,b), (b,y)
+    want = (-math.log(2 / 3) + 0 - math.log(2 / 3) + 0
+            - math.log(1 / 3)) / 5
+    assert out.loc[0, "nll_bp"] == int(np.floor(want * 10_000 + 0.5))
+
+
+def test_bigram_ppl_model_gate_raises(ray_session):
+    import pytest
+
+    from kb_ner_ray.stages.textstats import bigram_ppl
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b c d e f", "a b c d e f"], pa.string()),
+    })
+    with pytest.raises(ValueError, match="pruned model"):
+        bigram_ppl(ray.data.from_arrow(docs), max_model_bytes=4)
