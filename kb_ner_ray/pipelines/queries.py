@@ -2351,31 +2351,62 @@ FROM ppl CROSS JOIN cuts
 """
 
 
-def q_corpus_lang_stats(sf_dir: str):
+def q_corpus_lang_stats(sf_dir: str, *, row_cap: int | None = None,
+                        n_salts: int | None = None):
     """Per-language corpus vocabulary profile — the Zipf diagnostics a
     corpus audit reads before training (vocab growth, hapax mass):
     n_docs, token occurrences, distinct vocabulary, and hapax count per
-    language.  Distinct/hapax need per-(lang, tok) counts: per-batch
-    pre-agg then ONE bucketed token-hash shuffle; reducers emit ONE
-    bounded partial row per (lang, bucket), so the driver combine is
-    bounded by |langs| x n_buckets fixed-width rows."""
-    from ..stages.partitioning import bucket_array, default_buckets
+    language.  Distinct/hapax need EXACT per-(lang, tok) counts; counts
+    are additive, so the reduce is two-phase SALTED (round-4 verdict: a
+    Zipf-head token's per-batch partials — one per (lang, batch) — all
+    landed in ONE token-hash reducer group, ~n_blocks rows at 100 TB):
+
+    * per-batch (lang, tok, salt, c) pre-agg keyed on
+      hash(tok) x (hash(doc) % n_salts) — the salt is per DOC, so a
+      hot token's mass splits ~n_salts ways however batches were cut,
+      at a partial-volume cost of at most x n_salts on hot tokens only
+      (a rare token's docs land on few salts, so it still travels as
+      ~one row);
+    * phase 1 groups on (bucket, salt) and sums to one row per
+      (lang, tok) per group;
+    * phase 2 groups on hash(tok) (<= n_salts rows per (lang, tok)),
+      finishes the exact counts, and emits ONE bounded stats row per
+      (lang, bucket) — the driver combine stays |langs| x n_buckets."""
+    from ..stages.partitioning import (bucket_array, check_group_cap,
+                                       default_buckets, default_salts)
     from ..stages.sparse import _tokenize_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     nb = default_buckets()
+    ns = n_salts or default_salts()
 
     def pairs(t: pa.Table) -> pa.Table:
         flat, di, lengths = _tokenize_batch(t, "text")
         langs = t["lang"].to_numpy(zero_copy_only=False)
-        out = (pa.table({"lang": pa.array(langs[di]), "tok": flat})
-               .group_by(["lang", "tok"]).aggregate([("tok", "count")])
-               .rename_columns(["lang", "tok", "c"]))
-        return out.append_column(
-            "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = bucket_array(ids, ns).astype(np.int64)
+        out = (pa.table({"lang": pa.array(langs[di]), "tok": flat,
+                         "__s": pa.array(s[di], pa.int64())})
+               .group_by(["lang", "tok", "__s"]).aggregate([("tok", "count")])
+               .rename_columns(["lang", "tok", "__s", "c"]))
+        b = bucket_array(out["tok"], nb).astype(np.int64)
+        return pa.table({
+            "lang": out["lang"], "tok": out["tok"],
+            "c": out.column("c").cast(pa.int64()),
+            "__bs": pa.array(
+                b * ns + out["__s"].to_numpy(zero_copy_only=False),
+                pa.int64()),
+        })
 
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = (g.groupby(["lang", "tok"], as_index=False)["c"].sum())
+    def phase1(g: pd.DataFrame) -> pd.DataFrame:
+        check_group_cap(g, row_cap, "corpus_lang_stats.phase1")
+        cnt = g.groupby(["lang", "tok"], as_index=False)["c"].sum()
+        cnt["__b"] = g["__bs"].iloc[0] // ns
+        return cnt.astype({"c": np.int64})
+
+    def phase2(g: pd.DataFrame) -> pd.DataFrame:
+        check_group_cap(g, row_cap, "corpus_lang_stats.phase2")
+        cnt = g.groupby(["lang", "tok"], as_index=False)["c"].sum()
         agg = cnt.groupby("lang").agg(
             vocab=("tok", "size"),
             hapax=("c", lambda s: int((s == 1).sum())),
@@ -2384,8 +2415,10 @@ def q_corpus_lang_stats(sf_dir: str):
                            "n_tokens": np.int64})
 
     vocab = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby("__bs")
+             .map_groups(phase1, batch_format="pandas")
              .groupby("__b")
-             .map_groups(reduce_bucket, batch_format="pandas")
+             .map_groups(phase2, batch_format="pandas")
              .to_pandas()
              .groupby("lang", as_index=False).sum())
 
@@ -2539,35 +2572,58 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-def q_token_postings(sf_dir: str):
+def q_token_postings(sf_dir: str, *, row_cap: int | None = None,
+                     n_salts: int | None = None):
     """Distributed inverted-index build (token -> document frequency +
     first-10 postings): the corpus-scale materialization of what the
     in-worker BM25 index (state/bm25.py) holds in memory — i.e. the S5
-    'bulk indexer' seat expressed as a dataflow.  Per-batch distinct
-    (token, doc) pairs -> ONE bucketed token-hash shuffle -> per-token
-    sorted postings.  Output per token is BOUNDED (df + 10 doc ids)."""
-    from ..stages.partitioning import bucket_array, default_buckets
+    'bulk indexer' seat expressed as a dataflow.
+
+    Two-phase SALTED reduce (round-4 verdict: a Zipf-head token lands
+    ~one row per document in a single token-hash reducer group — at
+    10 B docs that is one hundreds-of-GB pandas group).  Both df and
+    the first-10 postings are MERGEABLE (df is additive over disjoint
+    doc sets; first-10 is a min-merge), so:
+
+    * per-batch distinct (tok, doc) pairs (vectorized; a doc's pairs
+      are emitted exactly once globally, so partial dfs never
+      double-count) keyed on hash(tok) x (hash(doc) % n_salts) — the
+      salt is per ROW, so no group holds more than ~df(tok)/n_salts
+      rows of any token however batches were cut;
+    * phase 1 groups on (bucket, salt) and emits ONE fixed-width row
+      per token per group (tok, df partial, first-10 partial);
+    * phase 2 groups on hash(tok) and min-merges: <= n_salts partial
+      rows per token, so the group is bounded by bucket vocabulary,
+      not corpus size.  Output per token is BOUNDED (df + 10 ids)."""
+    from ..stages.partitioning import (bucket_array, check_group_cap,
+                                       default_buckets, default_salts)
+    from ..stages.sparse import _tokenize_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     nb = default_buckets()
+    ns = n_salts or default_salts()
 
     def pairs(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        dids: list[int] = []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            ws = set(text.strip().split()) or {""}
-            toks.extend(ws)
-            dids.extend([doc_id] * len(ws))
-        out = pa.table({"tok": pa.array(toks, pa.string()),
-                        "doc_id": pa.array(dids, pa.int64())})
+        flat, di, _len = _tokenize_batch(t, "text")
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pdf = (pd.DataFrame({"tok": flat.to_numpy(zero_copy_only=False),
+                             "doc_id": ids[di]})
+               .drop_duplicates(["tok", "doc_id"]))
+        out = pa.table({"tok": pa.array(pdf["tok"].to_numpy(object),
+                                        pa.string()),
+                        "doc_id": pa.array(pdf["doc_id"].to_numpy(np.int64))})
+        b = bucket_array(out["tok"], nb).astype(np.int64)
+        # per-ROW doc-hash salt (pairs keep doc identity, unlike the
+        # pre-aggregated partials elsewhere): a hot token's rows spread
+        # ~uniformly across n_salts phase-1 groups regardless of how
+        # batches were cut, so no group holds more than ~df(tok)/n_salts
+        s = bucket_array(pdf["doc_id"].to_numpy(np.int64), ns).astype(
+            np.int64)
         return out.append_column(
-            "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
+            "__bs", pa.array(b * ns + s, pa.int64()))
 
-    def postings(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized: dedup + sort once, group sizes give df, cumcount<10
-        # bounds the postings string build (round-3 verdict: the
-        # per-token Python loop re-ran np.unique per group)
+    def phase1(g: pd.DataFrame) -> pd.DataFrame:
+        check_group_cap(g, row_cap, "token_postings.phase1")
         g = (g.drop_duplicates(["tok", "doc_id"])
              .sort_values(["tok", "doc_id"], kind="mergesort"))
         grp = g.groupby("tok", sort=False)
@@ -2575,15 +2631,32 @@ def q_token_postings(sf_dir: str):
         first10 = g[grp.cumcount().to_numpy() < 10].copy()
         first10["s"] = first10["doc_id"].astype(str)
         posts = first10.groupby("tok", sort=False)["s"].agg(",".join)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "tok": sizes.index.to_numpy(object),
             "df": sizes.to_numpy(np.int64),
             "postings": posts.reindex(sizes.index).to_numpy(object),
         })
+        out["__b"] = (g.groupby("tok", sort=False)["__bs"].first()
+                      .reindex(sizes.index).to_numpy(np.int64) // ns)
+        return out
+
+    def phase2(g: pd.DataFrame) -> pd.DataFrame:
+        check_group_cap(g, row_cap, "token_postings.phase2")
+        df = g.groupby("tok", as_index=False)["df"].sum()
+
+        def merge10(parts) -> str:
+            ids = sorted(int(x) for p in parts for x in p.split(","))
+            return ",".join(str(x) for x in ids[:10])
+
+        posts = g.groupby("tok")["postings"].agg(merge10)
+        df["postings"] = posts.reindex(df["tok"]).to_numpy(object)
+        return df.astype({"df": np.int64})
 
     return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("__bs")
+            .map_groups(phase1, batch_format="pandas")
             .groupby("__b")
-            .map_groups(postings, batch_format="pandas"))
+            .map_groups(phase2, batch_format="pandas"))
 
 
 SQL_TOKEN_POSTINGS = r"""

@@ -115,6 +115,29 @@ def bucket_array(values, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int32)
 
 
+def default_salts(cap: int = 64) -> int:
+    """Salt fan-out for two-phase (key, salt) -> (key) combines over
+    Zipf-skewed key spaces (token vocabularies).  The salt is
+    hash(doc) % n_salts, so a hot key's rows/partials spread ~uniformly
+    across salts and no phase-1 reducer group holds more than ~1/salts
+    of its mass.  Scales with the cluster like ``default_buckets`` but
+    capped: the phase-2 group then carries <= salts rows per key, and
+    past ~64 the extra fan-out only multiplies phase-2 volume (and, for
+    pre-aggregated partials, the per-batch partial row count)."""
+    return min(cap, default_buckets())
+
+
+def check_group_cap(g, row_cap: int | None, site: str) -> None:
+    """Optional reducer-group row-cap assertion (the planted-hot-token
+    tests pass a cap; production leaves it None).  Raising here means a
+    salted two-phase reduce failed to bound its phase-1 group — a bug,
+    not a data problem."""
+    if row_cap is not None and len(g) > row_cap:
+        raise AssertionError(
+            f"{site}: reducer group holds {len(g)} rows "
+            f"(> cap {row_cap}) — salting failed to spread a hot key")
+
+
 def ensure_arrow(ds):
     """(ds, schema) with a guaranteed pyarrow schema.
 

@@ -185,63 +185,109 @@ def bm25_search_corpus(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
 
 
 def tfidf_keywords(docs_ds, *, k: int = 5, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", plan: str = "auto",
+                   max_df_bytes: int = 1 << 30,
+                   row_cap: int | None = None,
+                   n_salts: int | None = None):
     """Per-document top-k TF-IDF keywords — corpus-wide statistics joined
     back to every document (keyword extraction / doc summarization).
 
     score(d, t) = tf(d,t) * ln(N / df(t)), quantized to int64 basis
     points; top-k per doc by (score desc, token asc).
 
-    Plan — two bucketed shuffles of FIXED-WIDTH rows, the text never
-    moves after tokenization and nothing is broadcast:
+    Round-5 plan (round-4 verdict: the old shuffle-1 reducer held a
+    token's FULL posting to compute df — a Zipf-head token serializes
+    one reducer with ~n_docs rows).  df is additive over disjoint doc
+    sets, so it now comes from a two-phase SALTED reduce, and the
+    posting never has to co-locate:
 
-    * N (total docs) from ``docs_ds.count()`` — parquet metadata for a
-      bare read, at worst one column-pruned pass;
-    * per-batch (doc, tok, tf) pre-aggregation (vectorized tokenizer);
-    * shuffle 1 on hash(tok): each reducer sees a token's full posting,
-      computes df locally and emits scored rows;
-    * shuffle 2 on hash(doc): each reducer holds complete docs and cuts
+    * N (total docs) from ``docs_ds.count()`` (parquet metadata);
+    * df table: per-batch per-token distinct-doc counts keyed on
+      hash(tok) x (hash(doc) % n_salts) -> phase-1 (bucket, salt) sums ->
+      phase-2 hash(tok) final sums.  No group ever exceeds
+      ~n_blocks/n_salts rows of a hot token;
+    * the df table is measured (``size_bytes`` after materialize) and
+      BYTE-GATED like unigram_ppl's vocabulary: under ``max_df_bytes``
+      it broadcasts (``ray.put`` once) and scoring is a single
+      stateless pass — ONE shuffle total (the per-doc top-k);
+    * above the gate (``plan='join'`` / auto): salted replicated hash
+      join — probe (doc, tok, tf) rows key on
+      hash(tok) x hash(doc) % n_salts, df build rows replicate x
+      n_salts, so a hot token's probe rows split across n_salts
+      reducer groups while every probe row still meets its df row;
+    * final shuffle on hash(doc): reducers hold complete docs and cut
       the top-k (per-doc output bounded by k).
 
     This is the general shape for corpus-global-statistic joins whose
     key space is UNBOUNDED (token vocab) — contrast bm25_search, where
     only the small query vocabulary matters and df partials fit the
     bounded-combiner contract."""
-    from .partitioning import bucket_array, default_buckets
+    from .partitioning import (bucket_array, check_group_cap,
+                               default_buckets, default_salts)
 
     nb = default_buckets()
+    ns = n_salts or default_salts()
 
     # count() answers from parquet metadata on a bare read — no text
     # bytes move just to learn N (review finding: the previous dedicated
     # map_batches pass re-read the whole corpus)
     n_docs = int(docs_ds.count())
 
-    def tf_rows(t: pa.Table) -> pa.Table:
+    # ---- df table: salted two-phase distinct-doc counts per token ----
+    def df_partial(t: pa.Table) -> pa.Table:
+        # per-DOC-hash salt inside the pre-agg: a hot token's partial
+        # counts split across ~n_salts (tok, salt) rows per batch, so no
+        # phase-1 group ever holds more than ~n_batches rows of it —
+        # rare tokens still travel as ~one row (few docs -> few salts)
         flat, di, _len = _tokenize_batch(t, text_col)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        tf = (pd.DataFrame({"doc_id": ids[di],
-                            "tok": flat.to_numpy(zero_copy_only=False)})
-              .groupby(["doc_id", "tok"], sort=False)
-              .size().reset_index(name="tf"))
-        out = pa.table({
-            "doc_id": pa.array(tf["doc_id"].to_numpy(np.int64)),
-            "tok": pa.array(tf["tok"].to_numpy(object), pa.string()),
-            "tf": pa.array(tf["tf"].to_numpy(np.int64)),
-        })
+        salts = bucket_array(ids, ns).astype(np.int64)
+        pdf = (pd.DataFrame({"tok": flat.to_numpy(zero_copy_only=False),
+                             "di": di})
+               .drop_duplicates(["tok", "di"]))
+        pdf["__s"] = salts[pdf["di"].to_numpy()]
+        pdf = (pdf.groupby(["tok", "__s"], sort=False).size()
+               .reset_index(name="dfp"))
+        out = pa.table({"tok": pa.array(pdf["tok"].to_numpy(object),
+                                        pa.string()),
+                        "dfp": pa.array(pdf["dfp"].to_numpy(np.int64))})
+        b = bucket_array(out["tok"], nb).astype(np.int64)
         return out.append_column(
-            "__b", pa.array(bucket_array(out["tok"], nb), pa.int32()))
+            "__bs",
+            pa.array(b * ns + pdf["__s"].to_numpy(np.int64), pa.int64()))
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        df = g.groupby("tok", sort=False)["doc_id"].transform("size")
-        idf = np.log(n_docs / df.to_numpy(np.float64))
-        s = g["tf"].to_numpy(np.float64) * idf
-        out = pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(np.int64),
-            "tok": g["tok"].to_numpy(object),
-            "score_bp": np.floor(s * SCORE_SCALE + 0.5).astype(np.int64),
-        })
-        out["__d"] = bucket_array(out["doc_id"].to_numpy(np.int64), nb)
-        return out
+    def df_phase1(g: pd.DataFrame) -> pd.DataFrame:
+        check_group_cap(g, row_cap, "tfidf.df_phase1")
+        out = g.groupby("tok", as_index=False)["dfp"].sum()
+        out["__b"] = g["__bs"].iloc[0] // ns
+        return out.astype({"dfp": np.int64})
+
+    def df_phase2(g: pd.DataFrame) -> pd.DataFrame:
+        check_group_cap(g, row_cap, "tfidf.df_phase2")
+        out = g.groupby("tok", as_index=False)["dfp"].sum()
+        return out.rename(columns={"dfp": "df"}).astype({"df": np.int64})
+
+    df_ds = (docs_ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("__bs").map_groups(df_phase1, batch_format="pandas")
+             .groupby("__b").map_groups(df_phase2, batch_format="pandas")
+             .materialize())
+    df_bytes = df_ds.size_bytes() or 0
+    if plan == "auto":
+        plan = "broadcast" if df_bytes <= max_df_bytes else "join"
+    elif plan == "broadcast" and df_bytes > max_df_bytes:
+        raise ValueError(
+            f"tfidf_keywords: df table is {df_bytes} bytes "
+            f"(> {max_df_bytes}); the broadcast plan would materialize it "
+            "on the driver and every worker - raise max_df_bytes or use "
+            "plan='join'")
+
+    def tf_rows(t: pa.Table) -> pd.DataFrame:
+        flat, di, _len = _tokenize_batch(t, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return (pd.DataFrame({"doc_id": ids[di],
+                              "tok": flat.to_numpy(zero_copy_only=False)})
+                .groupby(["doc_id", "tok"], sort=False)
+                .size().reset_index(name="tf"))
 
     def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
         top = (g.sort_values(["doc_id", "score_bp", "tok"],
@@ -251,6 +297,73 @@ def tfidf_keywords(docs_ds, *, k: int = 5, text_col: str = "text",
         return top[["doc_id", "tok", "score_bp", "rank"]].astype(
             {"rank": np.int64})
 
-    return (docs_ds.map_batches(tf_rows, batch_format="pyarrow")
-            .groupby("__b").map_groups(score_bucket, batch_format="pandas")
+    if plan == "broadcast":
+        dfp = df_ds.to_pandas()
+        lookup = pd.Series(
+            np.log(n_docs / dfp["df"].to_numpy(np.float64)),
+            index=dfp["tok"])
+        ref = ray.put(lookup)
+
+        def score_map(t: pa.Table) -> pd.DataFrame:
+            idf = ray.get(ref)
+            tf = tf_rows(t)
+            s = tf["tf"].to_numpy(np.float64) * tf["tok"].map(idf).to_numpy(
+                np.float64)
+            out = pd.DataFrame({
+                "doc_id": tf["doc_id"].to_numpy(np.int64),
+                "tok": tf["tok"].to_numpy(object),
+                "score_bp": np.floor(s * SCORE_SCALE + 0.5).astype(np.int64),
+            })
+            out["__d"] = bucket_array(out["doc_id"].to_numpy(np.int64), nb)
+            return out
+
+        return (docs_ds.map_batches(score_map, batch_format="pyarrow")
+                .groupby("__d").map_groups(topk_bucket,
+                                           batch_format="pandas"))
+
+    # join plan: probe rows salt on hash(doc) % ns, build rows replicate
+    def probe_rows(t: pa.Table) -> pd.DataFrame:
+        tf = tf_rows(t)
+        b = bucket_array(tf["tok"].to_numpy(object), nb).astype(np.int64)
+        from .partitioning import bucket_array as _ba
+
+        s = _ba(tf["doc_id"].to_numpy(np.int64), ns).astype(np.int64)
+        tf["__j"] = b * ns + s
+        tf["df"] = np.int64(0)  # schema-align with the build side
+        tf["__side"] = np.int8(0)
+        return tf
+
+    def build_rows(t: pa.Table) -> pd.DataFrame:
+        base = t.to_pandas()
+        b = bucket_array(base["tok"].to_numpy(object), nb).astype(np.int64)
+        rep = base.loc[base.index.repeat(ns)].reset_index(drop=True)
+        keys = (np.repeat(b, ns) * ns
+                + np.tile(np.arange(ns, dtype=np.int64), len(base)))
+        rep["__j"] = keys
+        rep["doc_id"] = np.int64(-1)
+        rep["tf"] = np.int64(0)
+        rep["__side"] = np.int8(1)
+        return rep[["doc_id", "tok", "tf", "__j", "df", "__side"]]
+
+    probe = docs_ds.map_batches(probe_rows, batch_format="pyarrow")
+    build = df_ds.map_batches(build_rows, batch_format="pyarrow")
+
+    def score_join(g: pd.DataFrame) -> pd.DataFrame:
+        check_group_cap(g, row_cap, "tfidf.score_join")
+        bld = g[g["__side"] == 1]
+        prb = g[g["__side"] == 0]
+        idf = pd.Series(np.log(n_docs / bld["df"].to_numpy(np.float64)),
+                        index=bld["tok"])
+        s = prb["tf"].to_numpy(np.float64) * prb["tok"].map(idf).to_numpy(
+            np.float64)
+        out = pd.DataFrame({
+            "doc_id": prb["doc_id"].to_numpy(np.int64),
+            "tok": prb["tok"].to_numpy(object),
+            "score_bp": np.floor(s * SCORE_SCALE + 0.5).astype(np.int64),
+        })
+        out["__d"] = bucket_array(out["doc_id"].to_numpy(np.int64), nb)
+        return out
+
+    return (probe.union(build)
+            .groupby("__j").map_groups(score_join, batch_format="pandas")
             .groupby("__d").map_groups(topk_bucket, batch_format="pandas"))

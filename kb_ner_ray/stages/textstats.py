@@ -205,7 +205,8 @@ def doc_gopher_rules(batch: pa.Table) -> pa.Table:
 
 
 def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
-                max_vocab_bytes: int = 1 << 30, plan: str = "auto"):
+                max_vocab_bytes: int = 1 << 30, plan: str = "auto",
+                row_cap: int | None = None, n_salts: int | None = None):
     """Corpus-trained unigram negative-log-likelihood per document — the
     CCNet-style LM-quality signal (Wenzek et al. 2020 bucket corpora by
     LM perplexity; a unigram model is the dependency-free stand-in, with
@@ -228,9 +229,15 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
       (pandas hash join) + segment sums.  Zero extra shuffles.
     - ``join`` (vocab over the gate, or forced): the vocabulary never
       reaches the driver — per-batch (doc_id, tok)->occurrences
-      partials join the count table inside token-hash buckets, then a
-      fixed-width doc_id shuffle sums per-doc partials.  Bounded
-      per-reducer memory (~vocab/n_buckets) at any corpus size.
+      partials join the count table inside SALTED token-hash buckets
+      (round-4 verdict: a Zipf-head token carries ~one probe row per
+      document, all landing in one token-hash group — probe rows now
+      key on hash(tok) x (hash(doc) % n_salts) and the fixed-width
+      build rows replicate x n_salts, so a hot token's probe mass
+      splits ~n_salts ways while every probe row still meets its count
+      row), then a fixed-width doc_id shuffle sums per-doc partials.
+      Bounded per-reducer memory (~probe/(n_buckets*n_salts)) at any
+      corpus size.
 
     ``plan="broadcast"`` forces the broadcast plan and RAISES over the
     gate instead of falling back (for callers that must not shuffle).
@@ -319,39 +326,56 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
             "it on the driver and every worker - raise min_count, raise "
             "max_vocab_bytes, or use plan='join'")
 
+    from .partitioning import check_group_cap, default_salts
+
+    ns = n_salts or default_salts()
+
     def doc_tok_partial(t: pa.Table) -> pa.Table:
         # (doc_id, tok) occurrence counts per batch — the probe side of
-        # the bucketed join, pre-aggregated so duplicate tokens within a
-        # doc travel as one row.
+        # the salted bucketed join, pre-aggregated so duplicate tokens
+        # within a doc travel as one row.  Join key spreads a hot
+        # token's probe rows across n_salts reducer groups by doc hash.
         flat, di, _len = _tokenize_batch(t, "text")
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         out = (pa.table({"doc_id": pa.array(ids[di], pa.int64()),
                          "tok": flat})
                .group_by(["doc_id", "tok"]).aggregate([("tok", "count")]))
+        b = bucket_array(out["tok"], nb).astype(np.int64)
+        s = bucket_array(out["doc_id"].to_numpy(zero_copy_only=False),
+                         ns).astype(np.int64)
         return pa.table({
             "doc_id": out["doc_id"],
             "tok": out["tok"],
             "c": out.column("tok_count").cast(pa.int64()),
-            "__b": pa.array(bucket_array(out["tok"], nb), pa.int32()),
+            "__j": pa.array(b * ns + s, pa.int64()),
             "__side": pa.array(np.zeros(len(out), np.int8), pa.int8()),
         })
 
     if plan == "join":
         def tag_build(t: pa.Table) -> pa.Table:
+            # Each fixed-width count row replicates x n_salts so every
+            # salted probe group finds its build row locally.
             mask = pc.is_valid(t["tok"])  # OOV rows score via the floor
             t = t.filter(mask)
+            n = len(t)
+            b = bucket_array(t["tok"], nb).astype(np.int64)
+            keys = (np.repeat(b, ns) * ns
+                    + np.tile(np.arange(ns, dtype=np.int64), n))
+            idx = np.repeat(np.arange(n, dtype=np.int64), ns)
+            rep = t.take(pa.array(idx, pa.int64()))
             return pa.table({
-                "doc_id": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
-                "tok": t["tok"],
-                "c": t["c"],
-                "__b": t["__b"],
-                "__side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+                "doc_id": pa.array(np.full(n * ns, -1, np.int64), pa.int64()),
+                "tok": rep["tok"],
+                "c": rep["c"],
+                "__j": pa.array(keys, pa.int64()),
+                "__side": pa.array(np.ones(n * ns, np.int8), pa.int8()),
             })
 
         build = counts_ds.map_batches(tag_build, batch_format="pyarrow")
         probe = docs_ds.map_batches(doc_tok_partial, batch_format="pyarrow")
 
         def merge(g: pd.DataFrame) -> pa.Table:
+            check_group_cap(g, row_cap, "unigram_ppl.merge")
             bld = g[g["__side"] == 1]
             prb = g[g["__side"] == 0]
             lp = pd.Series(
@@ -383,7 +407,7 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
             })
 
         return (probe.union(build)
-                .groupby("__b").map_groups(merge, batch_format="pandas")
+                .groupby("__j").map_groups(merge, batch_format="pandas")
                 .groupby("doc_id").map_groups(per_doc, batch_format="pandas"))
 
     # broadcast plan — the vocab fit under the measured-bytes gate
