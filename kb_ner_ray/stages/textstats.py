@@ -438,7 +438,8 @@ def unigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
 
 
 def bigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
-               max_model_bytes: int = 1 << 30):
+               max_model_bytes: int = 1 << 30, plan: str = "auto",
+               row_cap: int | None = None, n_salts: int | None = None):
     """Corpus-trained BIGRAM negative-log-likelihood per document — the
     next LM-quality rung above ``unigram_ppl`` on the CCNet/KenLM ladder
     (real deployments use a 5-gram KenLM; the prune-and-smooth shape is
@@ -451,15 +452,32 @@ def bigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
     context seen at scoring time exists in training (same corpus), so
     no global fallback is needed.
 
-    Plan: pass 1 pre-aggregates per-batch ORDERED consecutive pairs
+    Train: pass 1 pre-aggregates per-batch ORDERED consecutive pairs
     (vectorized shifted arrays; a doc's tokens are contiguous in its
     batch) and shuffles ONCE on hash(context) so a context's bigrams
-    and its floor reduce together; the pruned model is measured and
-    byte-gated BEFORE broadcast (raises like unigram_ppl's gate); pass 2
-    scores batches with two pandas merges (bigram hit, else context
-    floor) and per-doc bincount sums.  Docs with < 2 tokens have no
-    bigrams: n_bigrams = 0 and nll_bp = 0 (mirrored by the oracle's
-    COALESCE).  Returns Dataset(doc_id, n_bigrams, nll_bp)."""
+    and its floor reduce together.  The pruned model's size is MEASURED
+    and picks the scoring plan (same ladder as ``unigram_ppl``):
+
+    - ``broadcast`` (model <= ``max_model_bytes``): collected once,
+      ``ray.put``, per-batch scoring with two pandas merges (bigram
+      hit, else context floor) and per-doc bincount sums.  Zero extra
+      shuffles.
+    - ``join`` (model over the gate, or forced): the model never
+      reaches the driver — per-batch (doc_id, context, next)
+      occurrence partials join the model rows inside SALTED
+      context-hash buckets (probe rows key on hash(context) x
+      (hash(doc) % n_salts); fixed-width model rows — bigram AND floor
+      — replicate x n_salts so every salted probe group resolves
+      locally), then a fixed-width doc_id shuffle sums per-doc
+      partials.  A Zipf-head context ("the") splits ~n_salts ways.
+
+    ``plan="broadcast"`` forces the broadcast plan and RAISES over the
+    gate instead of falling back (for callers that must not shuffle).
+
+    Docs with < 2 tokens have no bigrams: n_bigrams = 0 and nll_bp = 0
+    (mirrored by the oracle's COALESCE; the join plan unions a per-doc
+    zero row so such docs still emit).  Returns Dataset(doc_id,
+    n_bigrams, nll_bp)."""
     import numpy as np
     import ray
 
@@ -529,12 +547,136 @@ def bigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
              .map_groups(reduce_context, batch_format="pandas")
              .materialize())
     mbytes = model.size_bytes() or 0
-    if mbytes > max_model_bytes:
+    if plan == "auto":
+        plan = "broadcast" if mbytes <= max_model_bytes else "join"
+    elif plan == "broadcast" and mbytes > max_model_bytes:
         raise ValueError(
             f"bigram_ppl: pruned model is {mbytes} bytes "
-            f"(> {max_model_bytes}); raise min_count or max_model_bytes")
-    mdf = model.to_pandas()
+            f"(> {max_model_bytes}); the broadcast plan would materialize "
+            "it on the driver and every worker - raise min_count, raise "
+            "max_model_bytes, or use plan='join'")
+
     import pandas as pd
+
+    if plan == "join":
+        from .partitioning import check_group_cap, default_salts
+
+        ns = n_salts or default_salts()
+
+        def probe_partial(t: pa.Table) -> pa.Table:
+            # (doc_id, a, b) occurrence counts per batch — pre-aggregated
+            # so a repeated bigram within a doc travels as one row.  Key
+            # spreads a hot context's probe rows across n_salts groups.
+            empty = pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+                "logp": pa.array([], pa.float64()),
+                "__j": pa.array([], pa.int64()),
+                "__side": pa.array([], pa.int8()),
+            })
+            got = _pairs(t)
+            if got is None or not len(got[0]):
+                return empty
+            a, b, d = got
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)[d]
+            cnt = (pd.DataFrame({"doc_id": ids, "a": a, "b": b})
+                   .groupby(["doc_id", "a", "b"], sort=False)
+                   .size().reset_index(name="c"))
+            bk = bucket_array(cnt["a"].to_numpy(object), nb).astype(np.int64)
+            st = bucket_array(cnt["doc_id"].to_numpy(np.int64),
+                              ns).astype(np.int64)
+            n = len(cnt)
+            return pa.table({
+                "doc_id": pa.array(cnt["doc_id"].to_numpy(np.int64)),
+                "a": pa.array(cnt["a"].to_numpy(object), pa.string()),
+                "b": pa.array(cnt["b"].to_numpy(object), pa.string()),
+                "c": pa.array(cnt["c"].to_numpy(np.int64)),
+                "logp": pa.array(np.zeros(n, np.float64)),
+                "__j": pa.array(bk * ns + st, pa.int64()),
+                "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            })
+
+        def tag_build(t: pa.Table) -> pa.Table:
+            # bigram rows AND per-context floor rows (b null) key on the
+            # context hash, replicated x n_salts so every salted probe
+            # group finds them locally.  Fixed-width: model rows only.
+            n = len(t)
+            bk = bucket_array(t["a"], nb).astype(np.int64)
+            keys = (np.repeat(bk, ns) * ns
+                    + np.tile(np.arange(ns, dtype=np.int64), n))
+            rep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                            ns), pa.int64()))
+            return pa.table({
+                "doc_id": pa.array(np.full(n * ns, -1, np.int64)),
+                "a": rep["a"],
+                "b": rep["b"],
+                "c": pa.array(np.zeros(n * ns, np.int64)),
+                "logp": rep["logp"],
+                "__j": pa.array(keys, pa.int64()),
+                "__side": pa.array(np.ones(n * ns, np.int8), pa.int8()),
+            })
+
+        def merge(g: pd.DataFrame) -> pa.Table:
+            check_group_cap(g, row_cap, "bigram_ppl.merge")
+            bld = g[g["__side"] == 1]
+            prb = g[g["__side"] == 0]
+            bg = bld[bld["b"].notna()][["a", "b", "logp"]]
+            fl = (bld[bld["b"].isna()][["a", "logp"]]
+                  .rename(columns={"logp": "floor"}))
+            df = prb[["doc_id", "a", "b", "c"]].merge(
+                bg, on=["a", "b"], how="left")
+            miss = df["logp"].isna()
+            if miss.any():
+                sub = df.loc[miss, ["a"]].merge(fl, on="a", how="left")
+                df.loc[miss, "logp"] = sub["floor"].to_numpy()
+            occ = df["c"].to_numpy(np.float64)
+            part = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "s": df["logp"].to_numpy(np.float64) * occ,
+                "n": df["c"].to_numpy(np.int64),
+            }).groupby("doc_id", as_index=False).sum()
+            return pa.table({
+                "doc_id": pa.array(part["doc_id"].to_numpy(np.int64)),
+                "s": pa.array(part["s"].to_numpy(np.float64)),
+                "n": pa.array(part["n"].to_numpy(np.int64)),
+            })
+
+        def zero_rows(t: pa.Table) -> pa.Table:
+            # every doc emits a zero partial so < 2-token docs (no probe
+            # rows) still produce an (n_bigrams=0, nll_bp=0) result row
+            z = np.zeros(len(t), np.int64)
+            return pa.table({"doc_id": t["doc_id"],
+                             "s": pa.array(z.astype(np.float64)),
+                             "n": pa.array(z)})
+
+        def per_doc(g: pd.DataFrame) -> pa.Table:
+            agg = g.groupby("doc_id", as_index=False).agg(
+                n_bigrams=("n", "sum"), s=("s", "sum"))
+            n = agg["n_bigrams"].to_numpy(np.int64)
+            avg = np.divide(agg["s"].to_numpy(np.float64),
+                            n.astype(np.float64),
+                            out=np.zeros(len(agg)), where=n > 0)
+            return pa.table({
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "n_bigrams": pa.array(n),
+                "nll_bp": pa.array(
+                    np.floor(avg * 10_000 + 0.5).astype(np.int64)),
+            })
+
+        probe = docs_ds.map_batches(probe_partial, batch_format="pyarrow")
+        build = model.map_batches(tag_build, batch_format="pyarrow")
+        zeros = (docs_ds.select_columns(["doc_id"])
+                 .map_batches(zero_rows, batch_format="pyarrow"))
+        return (probe.union(build)
+                .groupby("__j").map_groups(merge, batch_format="pandas")
+                .union(zeros)
+                .groupby("doc_id").map_groups(per_doc,
+                                              batch_format="pandas"))
+
+    # broadcast plan — the pruned model fit under the measured-bytes gate
+    mdf = model.to_pandas()
 
     big = mdf[mdf["b"].notna()][["a", "b", "logp"]]
     flo = (mdf[mdf["b"].isna()][["a", "logp"]]

@@ -762,5 +762,56 @@ def test_bigram_ppl_model_gate_raises(ray_session):
         "doc_id": pa.array([0, 1], pa.int64()),
         "text": pa.array(["a b c d e f", "a b c d e f"], pa.string()),
     })
+    # a forced broadcast plan must refuse (not silently materialize) an
+    # over-budget model; plan='auto' instead falls back to the join plan
     with pytest.raises(ValueError, match="pruned model"):
-        bigram_ppl(ray.data.from_arrow(docs), max_model_bytes=4)
+        bigram_ppl(ray.data.from_arrow(docs), max_model_bytes=4,
+                   plan="broadcast")
+
+
+def test_bigram_ppl_join_plan_matches_broadcast(ray_session):
+    """The above-gate bucketed-join scoring plan (max_model_bytes=0
+    forces it under plan='auto') produces the exact broadcast-plan
+    result, including the zero-bigram doc row."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+             for _ in range(30)] + ["solo", "", " "]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    from kb_ner_ray.stages.textstats import bigram_ppl
+
+    ds = ray.data.from_arrow(docs).repartition(4)
+    want = (bigram_ppl(ds, plan="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = (bigram_ppl(ds, max_model_bytes=0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got[["doc_id", "n_bigrams", "nll_bp"]].equals(
+        want[["doc_id", "n_bigrams", "nll_bp"]])
+    assert (got.loc[got["doc_id"] >= 30, "n_bigrams"] == 0).all()
+
+
+def test_bigram_ppl_join_plan_hot_context_capped(ray_session):
+    """A Zipf-head context ('the' starts a bigram in every doc) must not
+    serialize one merge reducer: with n_salts=4 the probe mass spreads
+    by doc hash, so no group exceeds the planted cap."""
+    texts = [f"the t{i} the t{(i * 7) % 13}" for i in range(200)]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    from kb_ner_ray.stages.textstats import bigram_ppl
+
+    ds = ray.data.from_arrow(docs).repartition(4)
+    want = (bigram_ppl(ds, plan="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # 200 docs x up to 3 probe rows; unsalted, 'the'-context rows land in
+    # ONE group (~400+ rows). n_salts=4 bounds every group; the model
+    # replicates x4 but is tiny/fixed-width.
+    got = (bigram_ppl(ds, plan="join", n_salts=4, n_buckets=8,
+                      row_cap=220)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got[["doc_id", "n_bigrams", "nll_bp"]].equals(
+        want[["doc_id", "n_bigrams", "nll_bp"]])
