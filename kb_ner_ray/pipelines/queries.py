@@ -3324,27 +3324,28 @@ def queries_registry():
       entries (the window holds 50 of 86 registered queries, so each
       round swaps a few stable, repeatedly-driver-green exact entries
       out for queries that have not yet earned a driver row — round-3
-      verdict #5.  Round 4 rotated IN: events_hopping, doc_unigram_ppl,
-      token_postings, doc_passage_dedup, kg_entity_pagerank (rows-only),
-      plus the eleven round-4-NEW exact queries (bm25_search,
-      doc_quality_buckets, doc_quality_buckets_by_lang, doc_pmi,
-      embed_outliers, stratified_rebalance, doc_keywords,
-      events_value_percentiles, customer_activity_left, pricing_rollup,
-      activity_reconcile_outer).  Rotated OUT (all
-      driver-green in r1-r3, still verified by every
-      tools/check_queries.py run): top_orders, customer_rollup,
-      part_filter_topk, doc_token_explode, distinct_users,
-      nation_acctbal_minmax, nation_top3_names, props_json, union_sample,
-      customers_no_urgent_orders, orders_events_range_join,
-      events_lead_lag, events_running_value, nation_median_acctbal,
-      events_rolling_count, orders_lineitem_join — the guard test's
+      verdict #5, continued per round-4 verdict #5.  Round 5 rotated IN
+      the eleven entries that had NEVER earned a driver row (all
+      rows-only; each is pytest-pinned): kg_contexts_entity,
+      kg_contexts_reranked, kg_distant_supervision, kg_ensemble_multirun,
+      doc_langid, doc_repeated_ngrams, ivf_knn, embed_near_dup_lsh,
+      approx_distinct_users, heavy_hitters_events,
+      approx_quantiles_value.  Rotated OUT (all driver-green EXACT in
+      r04, engines untouched in round 5, still verified by every
+      tools/check_queries.py run): events_hopping, doc_unigram_ppl,
+      doc_quality_buckets_by_lang, activity_reconcile_outer,
+      events_value_percentiles, customer_activity_left, events_pivot,
+      pricing_rollup, doc_quality_buckets, stratified_rebalance,
+      embed_outliers.  Kept in-window despite r04-green: token_postings,
+      corpus_lang_stats, doc_keywords, doc_pmi, doc_bigram_ppl — their
+      engines CHANGED in round 5 (salted reducers / bucketed pass-B /
+      join plan) so the driver must re-verify them.  The guard test's
       rotated_in/out sets pin this list against the dict below);
-    * positions 51+   — rows-only sketches/heuristics, the multimodal
-      trio, and the rotated-out exact entries; plan-parity variants
-      remain unregistered with pytest pins.
+    * positions 51+   — the multimodal trio and every rotated-out exact
+      entry; plan-parity variants remain unregistered with pytest pins.
     """
     return {
-        # -- flagship KG chain + prep + multimodal (window head) ----------
+        # -- flagship KG chain + prep (window head) ------------------------
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_mentions_viterbi": q_kg_mentions_viterbi,
@@ -3356,22 +3357,13 @@ def queries_registry():
         "kg_augment_conll": q_kg_augment_conll,
         "corpus_prep": q_corpus_prep,
         "doc_splits": q_doc_splits,
-        # -- exact-oracled queries + round-4 rotation (inside the window) -
+        # -- exact-oracled queries kept in-window --------------------------
         "pricing_summary": q_pricing_summary,
-        "events_hopping": q_events_hopping,
-        "doc_unigram_ppl": q_doc_unigram_ppl,
-        "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
         "revenue_by_nation": q_revenue_by_nation,
         "token_postings": q_token_postings,
         "corpus_lang_stats": q_corpus_lang_stats,
         "events_sessionize": q_events_sessionize,
-        "activity_reconcile_outer": q_activity_reconcile_outer,
-        "events_value_percentiles": q_events_value_percentiles,
-        "customer_activity_left": q_customer_activity_left,
-        "events_pivot": q_events_pivot,
         "doc_keywords": q_doc_keywords,
-        "pricing_rollup": q_pricing_rollup,
-        "doc_quality_buckets": q_doc_quality_buckets,
         "doc_passage_dedup": q_doc_passage_dedup,
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "events_asof_orders": q_events_asof_orders,
@@ -3385,10 +3377,8 @@ def queries_registry():
         "knn_bruteforce": q_knn_bruteforce,
         "embed_near_dup": q_embed_near_dup,
         "customers_with_orders": q_customers_with_orders,
-        "stratified_rebalance": q_stratified_rebalance,
         "events_topn_per_type": q_events_topn_per_type,
         "bm25_search": q_bm25_search,
-        "embed_outliers": q_embed_outliers,
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "doc_bigram_ppl": q_doc_bigram_ppl,
@@ -3396,63 +3386,7 @@ def queries_registry():
         "near_dup_keep": q_near_dup_keep,
         "source_stats_salted": q_source_stats_salted,
         "doc_decontaminate": q_doc_decontaminate,
-        # -- past the 50-entry window: rows-only + plan-parity variants
-        # (audio/video multimodal share the image entry's stub pattern;
-        # the image representative keeps a driver row in the window) -----
-        "multimodal_image_features": q_multimodal_image_features,
-        # (multimodal trio demoted past the window in favour of exact-
-        # oracled round-3 queries; all three stay registered and keep
-        # pytest coverage in test_ops)
-        "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "kg_doc_context": q_kg_doc_context,
-        # exact-oracled but ROTATED OUT of the window in round 4 (driver-
-        # green rows recorded in CORRECTNESS_r01-r03;
-        # tools/check_queries.py still verifies these every run):
-        "top_orders": q_top_orders,
-        "customer_rollup": q_customer_rollup,
-        "part_filter_topk": q_part_filter_topk,
-        "doc_token_explode": q_doc_token_explode,
-        "distinct_users": q_distinct_users,
-        "nation_acctbal_minmax": q_nation_acctbal_minmax,  # displaced by
-        # the round-4-new bm25_search (exact, needs its first driver row)
-        "nation_top3_names": q_nation_top3_names,  # displaced by the
-        # round-4-new doc_quality_buckets (exact, needs a driver row)
-        "props_json": q_props_json,  # displaced by the round-4-new
-        # doc_pmi (exact, needs a driver row)
-        "union_sample": q_union_sample,  # displaced by the round-4-new
-        # embed_outliers (exact, needs a driver row)
-        "customers_no_urgent_orders": q_customers_no_urgent_orders,
-        # displaced by the round-4-new stratified_rebalance (exact); the
-        # anti-join stays locally oracle-verified every check run
-        "orders_events_range_join": q_orders_events_range_join,
-        # displaced by the round-4-new doc_keywords (exact); the range
-        # join stays locally oracle-verified every check run
-        "events_lead_lag": q_events_lead_lag,  # displaced by the
-        # round-4-new events_value_percentiles (exact grouped selection)
-        "events_running_value": q_events_running_value,  # displaced by
-        # the round-4-new customer_activity_left (LEFT OUTER join)
-        "nation_median_acctbal": q_nation_median_acctbal,  # displaced
-        # by the round-4-new pricing_rollup (grouping sets); grouped
-        # medians are now also covered exactly by events_value_percentiles
-        "events_rolling_count": q_events_rolling_count,  # displaced by
-        # the round-4-new activity_reconcile_outer (FULL OUTER join);
-        # still bench-timed every run
-        "orders_lineitem_join": q_orders_lineitem_join,  # displaced by
-        # the round-4-new doc_quality_buckets_by_lang; inner-join
-        # coverage stays in-window via revenue_by_nation +
-        # customer_activity_left
-        "events_hourly": q_events_hourly,  # displaced by the round-4-new
-        # corpus_lang_stats; window-aggregate coverage stays in-window
-        # via events_hopping/sessionize/pivot/topn
-        "ngram_jaccard": q_ngram_jaccard,  # displaced by the round-4-new
-        # doc_bigram_ppl; the pair machinery stays in-window via
-        # ngram_jaccard_components/near_dup_keep and is bench-timed
-        "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
-        # pinned exactly by test_new_ops — demoted for the salted-groupby
-        # exact query (round 3)
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
+        # -- round-5 rotation: first-ever driver rows (all rows-only) ------
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "ivf_knn": q_ivf_knn,
         "approx_distinct_users": q_approx_distinct_users,
@@ -3465,6 +3399,53 @@ def queries_registry():
         "kg_distant_supervision": q_kg_distant_supervision,
         "kg_ensemble_multirun": q_kg_ensemble_multirun,  # rows-only;
         # pinned == fused kg_ensemble by test_ensemble_runs
+        # -- past the 50-entry window --------------------------------------
+        "multimodal_image_features": q_multimodal_image_features,
+        # (multimodal trio stays registered past the window with pytest
+        # coverage in test_ops; audio/video share the image stub pattern)
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "kg_doc_context": q_kg_doc_context,
+        "minhash_dedup": q_minhash_dedup,  # rows-only, bench-timed every
+        # run; driver rows recorded in earlier rounds
+        "simhash_dedup": q_simhash_dedup,  # rows-only, bench-timed every
+        # run; banding pytest-pinned (displaced by the round-5 rotation)
+        "kg_span_metric": q_kg_span_metric,  # rows-only; P/R/F1 formulas
+        # pinned exactly by test_new_ops
+        # exact-oracled but ROTATED OUT (driver-green rows recorded in
+        # CORRECTNESS_r01-r04; tools/check_queries.py still verifies all
+        # of these every run):
+        "top_orders": q_top_orders,
+        "customer_rollup": q_customer_rollup,
+        "part_filter_topk": q_part_filter_topk,
+        "doc_token_explode": q_doc_token_explode,
+        "distinct_users": q_distinct_users,
+        "nation_acctbal_minmax": q_nation_acctbal_minmax,
+        "nation_top3_names": q_nation_top3_names,
+        "props_json": q_props_json,
+        "union_sample": q_union_sample,
+        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        "orders_events_range_join": q_orders_events_range_join,
+        "events_lead_lag": q_events_lead_lag,
+        "events_running_value": q_events_running_value,
+        "nation_median_acctbal": q_nation_median_acctbal,
+        "events_rolling_count": q_events_rolling_count,
+        "orders_lineitem_join": q_orders_lineitem_join,
+        "events_hourly": q_events_hourly,
+        "ngram_jaccard": q_ngram_jaccard,
+        # round-5 rotated out (driver-green exact in r04, engines
+        # untouched this round):
+        "events_hopping": q_events_hopping,
+        "doc_unigram_ppl": q_doc_unigram_ppl,
+        "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
+        "activity_reconcile_outer": q_activity_reconcile_outer,
+        "events_value_percentiles": q_events_value_percentiles,
+        "customer_activity_left": q_customer_activity_left,
+        "events_pivot": q_events_pivot,
+        "pricing_rollup": q_pricing_rollup,
+        "doc_quality_buckets": q_doc_quality_buckets,
+        "stratified_rebalance": q_stratified_rebalance,
+        "embed_outliers": q_embed_outliers,
         # The plan-parity duplicates (minhash_dedup_join,
         # ngram_jaccard_salted, {orders_lineitem,revenue_by_nation,
         # events_asof,customers_semi,customers_anti}_bucketed) are NOT

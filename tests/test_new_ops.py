@@ -546,20 +546,30 @@ def test_registry_window_carries_full_signal():
                    "orders_events_range_join", "events_lead_lag",
                    "events_running_value", "nation_median_acctbal",
                    "events_rolling_count", "orders_lineitem_join",
-                   "events_hourly", "ngram_jaccard"}
+                   "events_hourly", "ngram_jaccard",
+                   # round-5 rotation: all driver-green exact in r04 and
+                   # engine-untouched this round
+                   "events_hopping", "doc_unigram_ppl",
+                   "doc_quality_buckets_by_lang",
+                   "activity_reconcile_outer", "events_value_percentiles",
+                   "customer_activity_left", "events_pivot",
+                   "pricing_rollup", "doc_quality_buckets",
+                   "stratified_rebalance", "embed_outliers"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
-    # round-4 rotation targets actually sit INSIDE the window
-    rotated_in = {"events_hopping", "doc_unigram_ppl", "token_postings",
-                  "doc_passage_dedup", "kg_entity_pagerank", "bm25_search",
-                  "doc_quality_buckets", "doc_pmi", "embed_outliers",
-                  "stratified_rebalance", "doc_keywords",
-                  "events_value_percentiles", "customer_activity_left",
-                  "pricing_rollup", "activity_reconcile_outer",
-                  "doc_quality_buckets_by_lang", "corpus_lang_stats",
-                  "doc_bigram_ppl"}
+    # round-5 rotation targets (never driver-verified before this round)
+    # actually sit INSIDE the window, as do the queries whose engines
+    # changed in round 5 (salted reducers / PMI pass-B / bigram join plan)
+    rotated_in = {"embed_near_dup_lsh", "ivf_knn", "approx_distinct_users",
+                  "heavy_hitters_events", "approx_quantiles_value",
+                  "doc_langid", "doc_repeated_ngrams", "kg_contexts_entity",
+                  "kg_contexts_reranked", "kg_distant_supervision",
+                  "kg_ensemble_multirun"}
     assert rotated_in <= window, rotated_in - window
+    engine_changed_r5 = {"token_postings", "corpus_lang_stats",
+                         "doc_keywords", "doc_pmi", "doc_bigram_ppl"}
+    assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
         assert n in rotated_out or sql in in_window_sql, \
