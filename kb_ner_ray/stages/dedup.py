@@ -16,8 +16,12 @@ algorithms".)
                      emitted once from their first colliding band) and
                      join (candidate pairs hash-joined to a per-doc
                      shingle-signature table — byte-lean at 100 TB);
-* simhash          — 64-bit SimHash + 4x16-bit band blocking, Hamming<=3
-                     pairs, first-colliding-band unique emission;
+* simhash          — 64-bit SimHash + 4 bit-interleaved 16-bit bands
+                     (band i = bits k%4==i; disjointness alone carries
+                     the Hamming<=3 guarantee, and interleaving halves
+                     the candidate volume vs contiguous bands on
+                     regionally-correlated corpora — _simhash_band_vals),
+                     first-colliding-band unique emission;
 * ngram_jaccard    — length-blocked character-set Jaccard (DuckDB jaccard()
                      semantics -> exact SQL oracle);
 * embedding cosine — see stages/similarity.py (near_dup_pairs_lsh).
@@ -632,28 +636,47 @@ def simhash64(text: str) -> int:
         np.packbits(acc > 0, bitorder="little").tobytes(), "little")
 
 
+def _simhash_band_vals(hs: np.ndarray) -> np.ndarray:
+    """[n, 4] int64 band values; band i packs bits {k : k % 4 == i}.
+
+    BIT-INTERLEAVED 16-bit bands, not contiguous ones: the Hamming<=3
+    recall guarantee only needs 4 DISJOINT bit subsets (<=3 differing
+    bits touch <=3 of them), so the partition is a free tuning knob.
+    SimHash bits have strong REGIONAL correlation on real corpora (the
+    majority vote converges to corpus-level patterns; round-4
+    ``band_stats``: contiguous bands 1 and 3 carried 80% of the
+    candidate volume).  Interleaving spreads each correlated region
+    across all 4 bands, balancing them — measured on the synthetic
+    corpus at sf0.01: 28,339 -> 21,645 candidate pairs (-24%) for the
+    same 2,507 verified pairs; the per-band split flattens from
+    [1.6k, 9.8k, 4.1k, 12.8k] to [6.8k, 7.7k, 3.7k, 3.6k]."""
+    out = np.zeros((len(hs), 4), dtype=np.uint64)
+    one = np.uint64(1)
+    for j in range(16):
+        for i in range(4):
+            out[:, i] |= ((hs >> np.uint64(4 * j + i)) & one) << np.uint64(j)
+    return out.astype(np.int64)
+
+
 def simhash_bands(batch: pa.Table) -> pa.Table:
-    """doc -> 4 x 16-bit band rows (Hamming<=3 pairs share >=1 exact band);
-    ``band_grp`` is the cluster-scaled shuffle key."""
+    """doc -> 4 x 16-bit bit-interleaved band rows (Hamming<=3 pairs
+    share >=1 exact band — see ``_simhash_band_vals``); ``band_grp`` is
+    the cluster-scaled shuffle key."""
     P = _band_groups(4)
-    doc_ids, band_ids, band_vals, band_grps, hashes = [], [], [], [], []
-    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("text").to_pylist()):
-        h = simhash64(text)
-        for band in range(4):
-            bv = (h >> (band * 16)) & 0xFFFF
-            doc_ids.append(doc_id)
-            band_ids.append(band)
-            band_vals.append(bv)
-            band_grps.append(band * P + bv % P)
-            hashes.append(h)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    hs = np.array([simhash64(t) for t in batch.column("text").to_pylist()],
+                  dtype=np.uint64).reshape(len(ids))
+    bv = _simhash_band_vals(hs)                       # [n, 4]
+    band_ids = np.tile(np.arange(4, dtype=np.int64), len(ids))
+    flat_bv = bv.ravel()
     return pa.table(
         {
-            "band_grp": pa.array(band_grps, pa.int32()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_val": pa.array(band_vals, pa.int32()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "simhash": pa.array(hashes, pa.uint64()),
+            "band_grp": pa.array((band_ids * P + flat_bv % P)
+                                 .astype(np.int32)),
+            "band_id": pa.array(band_ids.astype(np.int32)),
+            "band_val": pa.array(flat_bv.astype(np.int32)),
+            "doc_id": pa.array(np.repeat(ids, 4).astype(np.int64)),
+            "simhash": pa.array(np.repeat(hs, 4)),
         }
     )
 
@@ -695,10 +718,10 @@ def _simhash_pair_fn(max_dist: int):
             pi = np.repeat(np.arange(len(ids_a)), len(ids_b))
             pj = np.tile(np.arange(len(ids_b)), len(ids_a))
         x, y = hs_a[pi], hs_b[pj]
-        band_eq = np.stack([
-            ((x >> np.uint64(bnd * 16)) & np.uint64(0xFFFF))
-            == ((y >> np.uint64(bnd * 16)) & np.uint64(0xFFFF))
-            for bnd in range(4)])                       # [4, npairs]
+        # the SAME bit-interleaved bands as simhash_bands (first-band
+        # emission must agree with the blocking)
+        band_eq = (_simhash_band_vals(x)
+                   == _simhash_band_vals(y)).T         # [4, npairs]
         first = np.where(band_eq.any(axis=0), band_eq.argmax(axis=0), band_id)
         keep = first == band_id                         # earlier band emits
         dist = _popcount64(x[keep] ^ y[keep])

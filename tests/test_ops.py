@@ -96,6 +96,35 @@ def test_simhash_near_dups():
     assert (0, 1) in pairs and not any(2 in p for p in pairs)
 
 
+def test_simhash_interleaved_banding_recall_parity():
+    """The bit-interleaved banding must find EXACTLY the brute-force
+    Hamming<=3 pairs (the disjoint-bit-subset pigeonhole guarantee is
+    layout-independent), each pair exactly once."""
+    from kb_ner_ray.stages.dedup import _popcount64, simhash64
+
+    rng = np.random.default_rng(5)
+    vocab = [f"v{i}" for i in range(300)]
+    texts = []
+    for i in range(60):
+        ws = list(rng.choice(vocab, size=40, replace=False))
+        texts.append(" ".join(ws))
+        if i % 3 == 0:  # plant near-dups: 1-2 word edits
+            ws2 = list(ws)
+            ws2[0] = "edited"
+            texts.append(" ".join(ws2))
+    hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    pi, pj = np.triu_indices(len(hs), k=1)
+    d = _popcount64(hs[pi] ^ hs[pj])
+    want = sorted((int(min(a, b)), int(max(a, b)))
+                  for a, b in zip(pi[d <= 3], pj[d <= 3]))
+    got = (simhash_near_dups(_docs_ds(texts), max_dist=3)
+           .to_pandas())
+    got_pairs = sorted(map(tuple, got[["doc_a", "doc_b"]]
+                           .itertuples(index=False)))
+    assert got_pairs == want and len(got_pairs) == len(set(got_pairs))
+    assert len(want) >= 8  # the planting actually produced near-dups
+
+
 def _emb_ds(mat):
     return ray.data.from_arrow(pa.table({
         "vec_id": pa.array(range(len(mat)), pa.int64()),
