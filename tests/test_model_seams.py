@@ -291,3 +291,83 @@ def test_cross_encoder_scorer_golden_scores():
                        "text": pa.array([q0], pa.string())})).to_pylist()
     got = [r["rerank_score"] for r in sorted(out, key=lambda r: r["rank"])]
     assert got == sorted(got, reverse=True)
+
+
+# --- M2 splitter seam: punkt-parity goldens (round-4 verdict #7) -------------
+
+try:  # gated: nltk (and its punkt data) absent in this sandbox
+    import nltk
+
+    try:
+        nltk.data.find("tokenizers/punkt")
+        HAVE_PUNKT = True
+    except LookupError:
+        HAVE_PUNKT = False
+except ImportError:
+    HAVE_PUNKT = False
+
+# Probe corpus shaped like the extractor's output: abbreviations,
+# decimals, quotes, multi-line paragraphs, zh sentence enders — the cases
+# where punkt and the regex splitter can diverge.
+SPLITTER_PROBES = [
+    ("en", "Dr. Smith went to Washington. He arrived at 3.30 p.m. and "
+           "left early! Was it worth it? Nobody knows."),
+    ("en", "The U.S. economy grew 2.5 percent. Mr. Jones disagreed."),
+    ("en", 'She said "stop here." Then she left.\nA new paragraph '
+           "begins. It has two sentences."),
+    ("en", "No terminal punctuation on the last line"),
+    ("de", "Der Vertrag wurde am 3. Mai unterzeichnet. Danach gab es "
+           "Kritik."),
+    ("zh", "北京是中国的首都。它有很多大学！你去过吗？最后一句没有标点"),
+]
+
+
+@pytest.mark.skipif(not HAVE_PUNKT, reason="nltk punkt not in sandbox")
+def test_punkt_splitter_backend_golden_sentences():
+    """Reference-grade segmentation conformance for the M2 seam: builds
+    the reference's splitter (NLTK punkt per latin language, regex for
+    zh — kb/parse_text.py:17-32) behind ``set_splitter_backend`` and
+    pins its output on the fixed probe corpus.  First real-env run
+    records tests/golden/punkt_sentences.json; later runs assert exact
+    equality, so a punkt model/data update that reshapes sentences fails
+    loudly instead of silently changing every downstream context."""
+    from kb_ner_ray.functions.text import (
+        reset_splitter_backend,
+        set_splitter_backend,
+        split_sentences,
+    )
+
+    def punkt_split(text: str, lang: str) -> list[str]:
+        if lang == "zh":  # the reference's zh path is regex, not punkt
+            reset_splitter_backend()
+            try:
+                return split_sentences(text, "zh")
+            finally:
+                set_splitter_backend(punkt_split)
+        punkt_lang = {"en": "english", "de": "german", "es": "spanish",
+                      "nl": "dutch", "tr": "turkish", "ru": "russian"}
+        out: list[str] = []
+        for line in text.split("\n"):
+            line = line.strip()
+            if line:
+                out.extend(
+                    s.strip() for s in nltk.sent_tokenize(
+                        line, language=punkt_lang.get(lang, "english"))
+                    if s.strip())
+        return out
+
+    set_splitter_backend(punkt_split)
+    try:
+        got = {f"{lang}:{text[:40]}": split_sentences(text, lang)
+               for lang, text in SPLITTER_PROBES}
+    finally:
+        reset_splitter_backend()
+
+    golden_path = GOLDEN_DIR / "punkt_sentences.json"
+    if not golden_path.exists():
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        golden_path.write_text(json.dumps(got, indent=2,
+                                          ensure_ascii=False))
+        pytest.skip(f"golden recorded at {golden_path}; re-run to assert")
+    golden = json.loads(golden_path.read_text())
+    assert golden == got
