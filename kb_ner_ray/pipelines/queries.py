@@ -2988,7 +2988,12 @@ dots AS (SELECT d.vec_id, d.label,
          FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
          GROUP BY d.vec_id, d.label)
 SELECT dots.vec_id, dots.label,
-       CAST(FLOOR(dot / (vnorm * cnorm) * 10000 + 0.5) AS BIGINT) AS cos_bp
+       -- zero-norm guard mirrors the engine (similarity.embed_outliers
+       -- substitutes norm 1.0, so an all-zero vector/centroid scores
+       -- cos_bp 0 on BOTH sides instead of diverging — ADVICE r4)
+       CAST(FLOOR(dot / (COALESCE(NULLIF(vnorm, 0), 1)
+                         * COALESCE(NULLIF(cnorm, 0), 1))
+                  * 10000 + 0.5) AS BIGINT) AS cos_bp
 FROM dots JOIN cn ON cn.label = dots.label
 """
 

@@ -147,9 +147,13 @@ def bm25_search_corpus(docs_ds, queries: dict[int, list[str]], *, k: int = 10,
                             "di": doc_idx[mask]})
         tf = hit.groupby(["di", "tok"], sort=False).size().reset_index(
             name="tf")
+        # merge FIRST, then derive tf/dl from the merged frame: alignment
+        # is structural, not reliant on the inner merge preserving left
+        # row order / losing no rows (true today only because hits are
+        # masked to terms and terms is unique — ADVICE r4)
+        tf = tf.merge(terms, on="tok")
         tfv = tf["tf"].to_numpy(np.float64)
         dl = lengths[tf["di"].to_numpy(np.int64)].astype(np.float64)
-        tf = tf.merge(terms, on="tok")
         tf["contrib"] = (tf["idf"].to_numpy(np.float64) * tfv * (k1 + 1.0)
                          / (tfv + k1 * (1.0 - b + b * dl / av)))
         scored = (tf.merge(q2t, on="tok")

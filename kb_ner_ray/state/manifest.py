@@ -28,6 +28,27 @@ import pyarrow.parquet as pq
 SCHEMA_VERSION = 1
 
 
+def _tmp_dir(final: str) -> str:
+    """Per-process-unique tmp dir for an atomic partition write, plus
+    best-effort cleanup of STALE tmp dirs from crashed runs.
+
+    The suffix makes two concurrent invocations over the same out_dir
+    (e.g. bench.py and tools/check_queries.py both materializing
+    kg_ensemble_multirun under /tmp) write disjoint tmp dirs instead of
+    racing a shared ``part=NNNN.tmp`` through rmtree + os.replace
+    (ADVICE r4).  A LIVE concurrent writer's tmp dir is never removed:
+    only dirs from this same pid (a retry) are cleaned eagerly; foreign
+    ``final + ".tmp.<other-pid>"`` dirs are left for their owner (or the
+    next _DONE-less resume sweep) to handle."""
+    import shutil
+
+    mine = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(mine, ignore_errors=True)
+    # legacy fixed-name dir from older layouts: nothing owns it, drop it
+    shutil.rmtree(final + ".tmp", ignore_errors=True)
+    return mine
+
+
 def input_fingerprint(paths: list[str]) -> str:
     """Content fingerprint of an input partition: file names + sizes (cheap,
     deterministic; size change or rename invalidates the partition)."""
@@ -87,10 +108,9 @@ def write_partition_streamed(out_dir: str, part_id: int, ds,
     import pyarrow.compute as pc
 
     final = os.path.join(out_dir, f"part={part_id:04d}")
-    tmp = final + ".tmp"
+    tmp = _tmp_dir(final)
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     ds.write_parquet(tmp)
     files = sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
@@ -129,8 +149,7 @@ def write_partition_ds(out_dir: str, part_id: int, ds,
     import shutil
 
     final = os.path.join(out_dir, f"part={part_id:04d}")
-    tmp = final + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _tmp_dir(final)
     os.makedirs(tmp, exist_ok=True)
     ds.write_parquet(tmp)
     files = sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
@@ -157,7 +176,12 @@ def read_manifests(out_dir: str) -> list[dict]:
         return out
     for d in sorted(os.listdir(out_dir)):
         mpath = os.path.join(out_dir, d, "_MANIFEST.json")
-        if d.startswith("part=") and os.path.exists(mpath):
+        # ".tmp" exclusion: a crash between the manifest write and the
+        # os.replace leaves a fully-written tmp dir whose manifest must
+        # NOT count as a finished partition (its data sits at the wrong
+        # path; resume must redo it)
+        if (d.startswith("part=") and ".tmp" not in d
+                and os.path.exists(mpath)):
             with open(mpath) as f:
                 out.append(json.load(f))
     return out

@@ -138,6 +138,48 @@ def test_embed_outliers_matches_numpy(ray_session):
         assert (got == want[labels == lab]).all()
 
 
+def test_embed_outliers_zero_norm_matches_oracle(ray_session):
+    """A zero vector (and a label whose centroid is zero) must score
+    cos_bp 0 on BOTH the engine and the SQL oracle (ADVICE r4: the
+    engine substituted norm 1.0 while the oracle divided by zero)."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kb_ner_ray.pipelines.queries import SQL_EMBED_OUTLIERS
+    from kb_ner_ray.stages.similarity import embed_outliers
+
+    # label 0: one zero vector among normal ones; label 1: vectors that
+    # cancel to a ZERO centroid
+    vecs = [[1.0, 0.0], [0.0, 0.0], [0.5, 0.5],
+            [1.0, 1.0], [-1.0, -1.0]]
+    labels = [0, 0, 0, 1, 1]
+    ds = _emb_ds(vecs, labels)
+    got = (embed_outliers(ds).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert got.loc[got["vec_id"] == 1, "cos_bp"].item() == 0  # zero vec
+    assert (got.loc[got["label"] == 1, "cos_bp"] == 0).all()  # zero cent
+
+    import tempfile
+
+    import pyarrow as pa
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }), td + "/embeddings.parquet")
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{td}/embeddings.parquet')")
+        want = (con.sql(SQL_EMBED_OUTLIERS).df()
+                .sort_values("vec_id").reset_index(drop=True))
+    assert (got["cos_bp"].to_numpy()
+            == want["cos_bp"].to_numpy()).all()
+
+
 # --- TF-IDF keyword extraction (stages/sparse.py tfidf_keywords) -----------
 
 
