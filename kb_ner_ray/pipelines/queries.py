@@ -2270,6 +2270,75 @@ def q_doc_passage_dedup(sf_dir: str):
         n=10, min_docs=2)
 
 
+LINE_WORDS = 6  # the synthetic corpus has no newlines; the query pins
+# fixed 6-word windows as its "lines" so the dedup does real work (200
+# duplicate windows at sf0.01) — a real web corpus feeds line_dedup its
+# natural newlines instead.
+
+
+def q_doc_line_dedup(sf_dir: str, **kw):
+    """C4-style cross-document LINE dedup (stages/dedup.line_dedup):
+    every duplicate of a non-empty stripped line drops corpus-wide
+    (lexicographic-min (doc_id, line_idx) occurrence kept), docs rebuilt
+    from their kept lines.  Salted line-hash bucket election + doc-bucket
+    rebuild; exact DuckDB oracle (window row_number + ordered
+    string_agg).  Lines here = LINE_WORDS-word windows (see above)."""
+    import pyarrow as _pa
+
+    from ..stages.dedup import line_dedup
+
+    W = LINE_WORDS
+
+    def to_lines(t):
+        out = []
+        for tx in t["text"].to_pylist():
+            ws = tx.split()
+            out.append("\n".join(" ".join(ws[j:j + W])
+                                 for j in range(0, len(ws), W)))
+        return _pa.table({"doc_id": t["doc_id"],
+                          "text": _pa.array(out, _pa.string())})
+
+    ds = (_read(sf_dir, "documents", columns=["doc_id", "text"])
+          .map_batches(to_lines, batch_format="pyarrow"))
+    return line_dedup(ds, **kw)
+
+
+# Both sides strip the SAME explicit set (space TAB CR VT FF): Python's
+# bare str.strip()/Arrow utf8_trim_whitespace cover all Unicode
+# whitespace, which SQL trim() cannot express — stages/dedup._LINE_STRIP.
+# "Lines" are fixed 6-word windows (LINE_WORDS): 1-based-inclusive list
+# slices ws[(i-1)*6+1 : i*6], the trailing partial window included.
+SQL_DOC_LINE_DEDUP = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents),
+lines AS (
+  SELECT doc_id, i AS idx,
+         trim(array_to_string(ws[(i - 1) * 6 + 1 : i * 6], ' '),
+              ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS line
+  FROM words,
+       unnest(generate_series(
+           1, CAST(ceil(len(ws) / 6.0) AS BIGINT))) AS g(i)),
+nz AS (SELECT * FROM lines WHERE line <> ''),
+ranked AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+  FROM nz),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY idx)
+           FILTER (WHERE rn = 1) AS text,
+         count(*) AS n_lines,
+         count(*) FILTER (WHERE rn > 1) AS n_lines_removed
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.text, '') AS text,
+       COALESCE(a.n_lines, 0) AS n_lines,
+       COALESCE(a.n_lines_removed, 0) AS n_lines_removed
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def q_doc_unigram_ppl(sf_dir: str):
     """CCNet-style LM-quality signal: per-doc average unigram negative
     log-likelihood under the corpus's own MLE unigram model with
@@ -3367,7 +3436,7 @@ def queries_registry():
         "revenue_by_nation": q_revenue_by_nation,
         "token_postings": q_token_postings,
         "corpus_lang_stats": q_corpus_lang_stats,
-        "events_sessionize": q_events_sessionize,
+        "doc_line_dedup": q_doc_line_dedup,
         "doc_keywords": q_doc_keywords,
         "doc_passage_dedup": q_doc_passage_dedup,
         "kg_entity_pagerank": q_kg_entity_pagerank,
@@ -3440,6 +3509,7 @@ def queries_registry():
         "ngram_jaccard": q_ngram_jaccard,
         # round-5 rotated out (driver-green exact in r04, engines
         # untouched this round):
+        "events_sessionize": q_events_sessionize,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3473,6 +3543,7 @@ def oracle_registry():
         "part_filter_topk": SQL_PART_TOPK,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_SESSIONIZE,
+        "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

@@ -1142,3 +1142,137 @@ def decontaminate(docs_ds, benchmark_ds, n: int = 8,
         })
 
     return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---- C4-style cross-document LINE dedup --------------------------------------
+
+# Python str.strip() strips every Unicode whitespace; a SQL oracle can
+# only strip an explicit character set, so BOTH sides pin this one
+# (space, tab, CR, VT, FF — '\n' can't appear inside a split line).
+_LINE_STRIP = " \t\r\x0b\x0c"
+
+
+def line_dedup(docs_ds, n_buckets: int | None = None,
+               n_salts: int | None = None, row_cap: int | None = None):
+    """Cross-document exact LINE dedup with first-occurrence rewrite —
+    the C4 recipe (Raffel et al. 2020 §2.2 deduplicate repeated spans
+    corpus-wide; applied at line granularity by RefinedWeb/Dolma): every
+    duplicate of a non-empty stripped line is dropped corpus-wide, the
+    single kept copy being the lexicographic-min (doc_id, line_idx)
+    occurrence, and each document is rebuilt from its kept lines in
+    order.  Duplicates WITHIN a document drop the same way.
+
+    Returns Dataset(doc_id, text, n_lines, n_lines_removed) with one row
+    per input doc (docs whose every line was removed, or with no
+    non-empty lines, emit text='').  Exactly SQL-expressible (the
+    registered DuckDB oracle mirrors the strip set via trim(x, ...)).
+
+    100-TB shape: line text travels ONCE into its salted line-hash
+    bucket; a Zipf-head boilerplate line ("Home") spreads by
+    hash(doc_id) % n_salts, phase-1 reducers keep only their salt-min
+    occurrence (<= n_salts fixed-width candidate rows per line reach
+    phase 2), and the winner rows + one per-doc sentinel make the
+    doc-bucket rebuild shuffle fixed-width outside the kept text
+    itself.  Arrow-vectorized explode (split_pattern +
+    list_parent_indices), no Python loop over lines outside the final
+    per-doc join.
+    """
+    import pyarrow.compute as pc
+
+    from .partitioning import (
+        bucket_array,
+        check_group_cap,
+        default_buckets,
+        default_salts,
+    )
+
+    nb = n_buckets or default_buckets()
+    ns = n_salts or default_salts()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ls = pc.split_pattern(t["text"].combine_chunks()
+                              if isinstance(t["text"], pa.ChunkedArray)
+                              else t["text"], "\n")
+        flat = pc.utf8_trim(pc.list_flatten(ls), _LINE_STRIP)
+        par = pc.list_parent_indices(ls).to_numpy(zero_copy_only=False)
+        off = ls.offsets.to_numpy(zero_copy_only=False)
+        idx = np.arange(len(flat), dtype=np.int64) - off[par]
+        keepm = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        line = flat.to_numpy(zero_copy_only=False)[keepm]
+        did = ids[par[keepm]].astype(np.int64)
+        lidx = idx[keepm]
+        # per-doc sentinel: presence + non-empty line count (side=1)
+        n_nz = np.bincount(par[keepm], minlength=len(t)).astype(np.int64)
+        lb = bucket_array(line, nb).astype(np.int64)
+        st = bucket_array(did, ns).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([did, ids.astype(np.int64)])),
+            "idx": pa.array(np.concatenate([lidx, n_nz])),
+            "line": pa.array(list(line) + [None] * len(t), pa.string()),
+            "__k": pa.array(np.concatenate(
+                [lb * ns + st, bucket_array(ids, nb).astype(np.int64)])),
+            "__side": pa.array(np.concatenate(
+                [np.zeros(len(line), np.int8),
+                 np.ones(len(t), np.int8)]).astype(np.int8)),
+        })
+
+    rows = (docs_ds.select_columns(["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow")
+            .materialize())
+    lines = rows.filter(expr="__side == 0")
+    sentinels = rows.filter(expr="__side == 1")
+
+    def salt_min(g: pd.DataFrame) -> pd.DataFrame:
+        # one (line-bucket, salt) group: keep the salt-local min
+        # (doc_id, idx) per line — everything else is a duplicate
+        # regardless of the global winner
+        check_group_cap(g, row_cap, "line_dedup.salt_min")
+        out = (g.sort_values(["line", "doc_id", "idx"], kind="mergesort")
+               .drop_duplicates("line"))
+        out = out.copy()
+        out["__k"] = bucket_array(out["line"].to_numpy(object),
+                                  nb).astype(np.int64)
+        return out[["doc_id", "idx", "line", "__k"]]
+
+    def global_min(g: pd.DataFrame) -> pa.Table:
+        # <= n_salts candidate rows per line: elect the global winner
+        # (arrow output so the union with the arrow sentinel blocks is
+        # block-type-homogeneous)
+        check_group_cap(g, row_cap, "line_dedup.global_min")
+        out = (g.sort_values(["line", "doc_id", "idx"], kind="mergesort")
+               .drop_duplicates("line"))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "idx": pa.array(out["idx"].to_numpy(np.int64)),
+            "line": pa.array(out["line"].to_numpy(object), pa.string()),
+            "__k": pa.array(bucket_array(out["doc_id"].to_numpy(np.int64),
+                                         nb).astype(np.int64)),
+            "__side": pa.array(np.zeros(len(out), np.int8)),
+        })
+
+    winners = (lines
+               .groupby("__k").map_groups(salt_min, batch_format="pandas")
+               .groupby("__k").map_groups(global_min,
+                                          batch_format="pandas"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        sent = g[g["__side"] == 1]
+        kept = g[g["__side"] == 0].sort_values(["doc_id", "idx"])
+        texts = {k: "\n".join(v["line"])
+                 for k, v in kept.groupby("doc_id", sort=False)}
+        n_kept = (kept.groupby("doc_id", sort=False).size()
+                  if len(kept) else pd.Series(dtype=np.int64))
+        ids = sent["doc_id"].to_numpy(np.int64)
+        n_lines = sent["idx"].to_numpy(np.int64)
+        nk = np.asarray([int(n_kept.get(i, 0)) for i in ids], np.int64)
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "n_lines": n_lines,
+            "n_lines_removed": n_lines - nk,
+        })
+        out.insert(1, "text", [texts.get(int(i), "") for i in ids])
+        return out
+
+    return (winners.union(sentinels)
+            .groupby("__k").map_groups(rebuild, batch_format="pandas"))

@@ -554,7 +554,9 @@ def test_registry_window_carries_full_signal():
                    "activity_reconcile_outer", "events_value_percentiles",
                    "customer_activity_left", "events_pivot",
                    "pricing_rollup", "doc_quality_buckets",
-                   "stratified_rebalance", "embed_outliers"}
+                   "stratified_rebalance", "embed_outliers",
+                   # displaced by the round-5-new doc_line_dedup (exact)
+                   "events_sessionize"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -568,7 +570,8 @@ def test_registry_window_carries_full_signal():
                   "kg_ensemble_multirun"}
     assert rotated_in <= window, rotated_in - window
     engine_changed_r5 = {"token_postings", "corpus_lang_stats",
-                         "doc_keywords", "doc_pmi", "doc_bigram_ppl"}
+                         "doc_keywords", "doc_pmi", "doc_bigram_ppl",
+                         "doc_line_dedup"}  # round-5-NEW exact query
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():

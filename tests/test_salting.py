@@ -148,3 +148,34 @@ def test_salt_spread_uniformity():
     counts = np.bincount(s, minlength=8)
     assert counts.min() > 0.8 * 100_000 / 8
     assert counts.max() < 1.2 * 100_000 / 8
+
+
+def test_line_dedup_salted_hot_line(ray_session, hot_sf_dir):
+    """A boilerplate line repeated in EVERY doc (the C4 'Home' case) must
+    not serialize one line-hash reducer: phase-1 groups stay under the
+    cap with n_salts=8, the unsalted plan blows it, and the rewrite is
+    still exact (first doc keeps the hot line, all others drop it)."""
+    import pyarrow.parquet as pq_
+
+    from kb_ner_ray.stages.dedup import line_dedup
+
+    t = pq_.read_table(hot_sf_dir + "/documents.parquet")
+    # rewrite each doc as two lines: the shared boilerplate + its unique
+    docs = pa.table({
+        "doc_id": t["doc_id"],
+        "text": pa.array([f"boiler plate line\nunique w{i}"
+                          for i in range(N_DOCS)], pa.string()),
+    })
+    ds = ray.data.from_arrow(docs).repartition(8)
+    out = (line_dedup(ds, row_cap=CAP, n_salts=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == N_DOCS
+    assert out.loc[0, "text"] == "boiler plate line\nunique w0"
+    assert (out.loc[1:, "text"]
+            == [f"unique w{i}" for i in range(1, N_DOCS)]).all()
+    assert out.loc[0, "n_lines_removed"] == 0
+    assert (out.loc[1:, "n_lines_removed"] == 1).all()
+    assert (out["n_lines"] == 2).all()
+
+    with pytest.raises(Exception, match="salting failed to spread"):
+        line_dedup(ds, row_cap=CAP, n_salts=1).materialize()
