@@ -2339,6 +2339,31 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+def q_corpus_shuffle(sf_dir: str, **kw):
+    """Deterministic resumable training-data shuffle
+    (stages/partitioning.deterministic_shuffle): md5-derived (shard,
+    pos) per doc — pure function of doc_id, payload never moves, ONE
+    fixed-width hash shuffle.  Exact DuckDB oracle (md5 + hex cast +
+    row_number)."""
+    from ..stages.partitioning import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _read(sf_dir, "documents", columns=["doc_id"]),
+        n_shards=kw.pop("n_shards", 16), **kw)
+
+
+SQL_CORPUS_SHUFFLE = r"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents)
+SELECT doc_id,
+       CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 16 AS shard,
+       row_number() OVER (
+           PARTITION BY CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 16
+           ORDER BY hx, doc_id) - 1 AS pos
+FROM h
+"""
+
+
 def q_doc_unigram_ppl(sf_dir: str):
     """CCNet-style LM-quality signal: per-doc average unigram negative
     log-likelihood under the corpus's own MLE unigram model with
@@ -3440,7 +3465,7 @@ def queries_registry():
         "doc_keywords": q_doc_keywords,
         "doc_passage_dedup": q_doc_passage_dedup,
         "kg_entity_pagerank": q_kg_entity_pagerank,
-        "events_asof_orders": q_events_asof_orders,
+        "corpus_shuffle": q_corpus_shuffle,
         "doc_pmi": q_doc_pmi,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3510,6 +3535,7 @@ def queries_registry():
         # round-5 rotated out (driver-green exact in r04, engines
         # untouched this round):
         "events_sessionize": q_events_sessionize,
+        "events_asof_orders": q_events_asof_orders,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3544,6 +3570,7 @@ def oracle_registry():
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_SESSIONIZE,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+        "corpus_shuffle": SQL_CORPUS_SHUFFLE,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

@@ -153,3 +153,52 @@ def ensure_arrow(ds):
         return ds, schema
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
     return ds, ds.schema()
+
+
+def deterministic_shuffle(ds, id_col: str = "doc_id",
+                          n_shards: int | None = None):
+    """Deterministic, resumable global TRAINING-DATA shuffle: assign
+    every row a (shard, pos) from the md5 of its id — the corpus-order
+    randomization an LM training run needs, as a pure function of the
+    id (rerunnable, resumable, no RNG state; cf. the hash-based example
+    ordering in T5/C4 and Dolma's deterministic shard layout).
+
+    shard = int(md5(str(id))[:8], 16) % n_shards; pos = rank of the md5
+    hex within the shard (ties — impossible in practice — break on id).
+    Returns Dataset(id_col, shard, pos), pos 0-based and contiguous per
+    shard.
+
+    100-TB shape: the payload never moves — feed this ONLY the id
+    column and join/route the text by (shard, pos) at write time.  One
+    fixed-width hash shuffle; each shard group holds n/n_shards 48-byte
+    rows (cluster-scale n_shards to bound it).  Exactly
+    SQL-expressible: md5 + CAST('0x'||substr AS BIGINT) + row_number
+    mirror this in the registered oracle."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    ns = n_shards or default_buckets()
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        shard = np.array([int(h[:8], 16) % ns for h in hx], np.int64)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "shard": pa.array(shard),
+            "hx": pa.array(hx, pa.string()),
+        })
+
+    def rank_shard(g: pd.DataFrame) -> pa.Table:
+        out = g.sort_values(["hx", id_col], kind="mergesort")
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+            "shard": pa.array(out["shard"].to_numpy(np.int64)),
+            "pos": pa.array(np.arange(len(out), dtype=np.int64)),
+        })
+
+    return (ds.map_batches(hash_rows, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(rank_shard, batch_format="pandas"))

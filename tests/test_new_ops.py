@@ -556,7 +556,9 @@ def test_registry_window_carries_full_signal():
                    "pricing_rollup", "doc_quality_buckets",
                    "stratified_rebalance", "embed_outliers",
                    # displaced by the round-5-new doc_line_dedup (exact)
-                   "events_sessionize"}
+                   "events_sessionize",
+                   # displaced by the round-5-new corpus_shuffle (exact)
+                   "events_asof_orders"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -571,7 +573,8 @@ def test_registry_window_carries_full_signal():
     assert rotated_in <= window, rotated_in - window
     engine_changed_r5 = {"token_postings", "corpus_lang_stats",
                          "doc_keywords", "doc_pmi", "doc_bigram_ppl",
-                         "doc_line_dedup"}  # round-5-NEW exact query
+                         "doc_line_dedup",  # round-5-NEW exact queries
+                         "corpus_shuffle"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
@@ -828,3 +831,23 @@ def test_bigram_ppl_join_plan_hot_context_capped(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got[["doc_id", "n_bigrams", "nll_bp"]].equals(
         want[["doc_id", "n_bigrams", "nll_bp"]])
+
+
+def test_deterministic_shuffle(ray_session):
+    """corpus_shuffle invariants: pure function of the id (two runs
+    identical), pos contiguous 0..k-1 per shard, every id present once,
+    and the md5 ordering actually scrambles doc_id order."""
+    from kb_ner_ray.stages.partitioning import deterministic_shuffle
+
+    docs = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    ds = ray.data.from_arrow(docs).repartition(4)
+    a = (deterministic_shuffle(ds, n_shards=8).to_pandas()
+         .sort_values(["shard", "pos"]).reset_index(drop=True))
+    b = (deterministic_shuffle(ds, n_shards=8).to_pandas()
+         .sort_values(["shard", "pos"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert sorted(a["doc_id"]) == list(range(200))
+    for _s, g in a.groupby("shard"):
+        assert g["pos"].tolist() == list(range(len(g)))
+        # not in id order within the shard (the whole point)
+    assert not a["doc_id"].is_monotonic_increasing
