@@ -3058,6 +3058,56 @@ WHERE (d.doc_id * 48271 + 7) % 99991 < (m.mn * 99991) // cnt.c
 """
 
 
+TEMP_ALPHA = 0.3  # the XLM-R/mBERT multilingual sampling temperature
+
+
+def q_temperature_sample(sf_dir: str):
+    """Temperature-based multilingual resampling — the alpha=0.3 recipe
+    of mBERT/XLM-R (Conneau et al. 2020 §3.1: sample languages
+    proportional to p_l^alpha, flattening the head without erasing it).
+    Downsample-only rates: rate_l = (n_min / n_l)^(1-alpha), so the
+    rarest language keeps everything and expected kept counts are
+    proportional to n_l^alpha.  alpha=0 degenerates to the full
+    stratified_rebalance; alpha=1 keeps the natural mix.  Same
+    deterministic full-cycle value-hash keep rule, ZERO shuffles, rates
+    broadcast as scalars; thresholds integer-quantized on BOTH sides so
+    the oracle hash-matches."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("lang")
+                .aggregate([("doc_id", "count")])
+                .rename_columns(["lang", "c"]))
+
+    cnt = _tree_agg(ds, ["lang"], partial, {"c": "sum"})
+    mn = float(cnt["c"].min())
+    thr = {s: int(np.floor(99_991 * (mn / float(c)) ** (1 - TEMP_ALPHA)
+                           + 0.5))
+           for s, c in zip(cnt["lang"], cnt["c"])}
+    rref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["lang"].to_pylist()
+        th = np.array([r[s] for s in src], np.int64)
+        m = (ids * 48_271 + 7) % 99_991 < th
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS mn FROM cnt)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cnt USING (lang) CROSS JOIN m
+WHERE (d.doc_id * 48271 + 7) % 99991
+      < CAST(FLOOR(99991 * POW(CAST(m.mn AS DOUBLE) / cnt.c, 0.7) + 0.5)
+             AS BIGINT)
+"""
+
+
 def q_embed_outliers(sf_dir: str):
     """Embedding-space outlier scoring (stages/similarity.py
     embed_outliers): cosine of every vector to its label centroid —
@@ -3475,7 +3525,7 @@ def queries_registry():
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
         "embed_near_dup": q_embed_near_dup,
-        "customers_with_orders": q_customers_with_orders,
+        "temperature_sample": q_temperature_sample,
         "events_topn_per_type": q_events_topn_per_type,
         "bm25_search": q_bm25_search,
         "order_priority_exists": q_order_priority_exists,
@@ -3536,6 +3586,7 @@ def queries_registry():
         # untouched this round):
         "events_sessionize": q_events_sessionize,
         "events_asof_orders": q_events_asof_orders,
+        "customers_with_orders": q_customers_with_orders,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3571,6 +3622,7 @@ def oracle_registry():
         "events_sessionize": SQL_SESSIONIZE,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+        "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

@@ -558,7 +558,9 @@ def test_registry_window_carries_full_signal():
                    # displaced by the round-5-new doc_line_dedup (exact)
                    "events_sessionize",
                    # displaced by the round-5-new corpus_shuffle (exact)
-                   "events_asof_orders"}
+                   "events_asof_orders",
+                   # displaced by the round-5-new temperature_sample
+                   "customers_with_orders"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -574,7 +576,7 @@ def test_registry_window_carries_full_signal():
     engine_changed_r5 = {"token_postings", "corpus_lang_stats",
                          "doc_keywords", "doc_pmi", "doc_bigram_ppl",
                          "doc_line_dedup",  # round-5-NEW exact queries
-                         "corpus_shuffle"}
+                         "corpus_shuffle", "temperature_sample"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
@@ -851,3 +853,28 @@ def test_deterministic_shuffle(ray_session):
         assert g["pos"].tolist() == list(range(len(g)))
         # not in id order within the shard (the whole point)
     assert not a["doc_id"].is_monotonic_increasing
+
+
+def test_temperature_sample_flattens_mix(ray_session):
+    """alpha=0.3 keeps the rarest language whole and flattens the head:
+    kept counts ordered like the input counts but with ratios pulled
+    toward 1 (kept_max/kept_min << n_max/n_min), and a rerun is
+    identical (deterministic value-hash rule)."""
+    from kb_ner_ray.pipelines.queries import q_temperature_sample
+
+    a = q_temperature_sample("/root/testdata/sf0.01").to_pandas()
+    b = q_temperature_sample("/root/testdata/sf0.01").to_pandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+    import pyarrow.parquet as pq_
+
+    full = (pq_.read_table("/root/testdata/sf0.01/documents.parquet",
+                           columns=["lang"]).to_pandas()
+            .groupby("lang").size())
+    kept = a.groupby("lang").size()
+    assert set(kept.index) == set(full.index)  # no language erased
+    # head flattened: kept ratio strictly tighter than the input ratio
+    assert (kept.max() / kept.min()) < (full.max() / full.min())
+    # rarest language kept (approximately) whole: rate 1 up to hash noise
+    rare = full.idxmin()
+    assert kept[rare] >= 0.9 * full[rare]
