@@ -2364,6 +2364,52 @@ FROM h
 """
 
 
+PACK_SEQ_LEN = 128   # multi-sequence packing signal at test scale; a
+PACK_SHARDS = 16     # real run packs 2048-token sequences
+
+
+def q_pack_sequences(sf_dir: str, **kw):
+    """GPT/T5 concat-and-chunk training-sequence packing
+    (stages/packing.pack_training_sequences): an INDEX mapping each
+    doc's token spans onto fixed-length sequences — payload never
+    moves.  One fixed-width shard groupby; exact DuckDB oracle
+    (window SUM + generate_series interval expansion)."""
+    from ..stages.packing import pack_training_sequences
+
+    return pack_training_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        seq_len=kw.pop("seq_len", PACK_SEQ_LEN),
+        n_shards=kw.pop("n_shards", PACK_SHARDS), **kw)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 16 AS shard,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                            || chr(11) || chr(12)) = '' THEN 0
+              ELSE len(string_split_regex(
+                     trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                || chr(11) || chr(12)), '\s+')) END
+           AS n_tok
+  FROM documents),
+pos AS (
+  SELECT doc_id, shard, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM tok WHERE n_tok > 0)
+SELECT shard, q AS seq_id, doc_id,
+       GREATEST(q * 128 - s, 0) AS doc_offset,
+       GREATEST(s - q * 128, 0) AS seq_offset,
+       LEAST((q + 1) * 128, s + n_tok) - GREATEST(q * 128, s) AS n_tokens
+FROM pos,
+     unnest(generate_series(s // 128, (s + n_tok - 1) // 128)) AS g(q)
+"""
+
+
 def q_doc_unigram_ppl(sf_dir: str):
     """CCNet-style LM-quality signal: per-doc average unigram negative
     log-likelihood under the corpus's own MLE unigram model with
@@ -3528,7 +3574,7 @@ def queries_registry():
         "temperature_sample": q_temperature_sample,
         "events_topn_per_type": q_events_topn_per_type,
         "bm25_search": q_bm25_search,
-        "order_priority_exists": q_order_priority_exists,
+        "pack_sequences": q_pack_sequences,
         "corpus_stats": q_corpus_stats,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "ngram_jaccard_components": q_ngram_jaccard_components,
@@ -3587,6 +3633,7 @@ def queries_registry():
         "events_sessionize": q_events_sessionize,
         "events_asof_orders": q_events_asof_orders,
         "customers_with_orders": q_customers_with_orders,
+        "order_priority_exists": q_order_priority_exists,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3623,6 +3670,7 @@ def oracle_registry():
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "corpus_shuffle": SQL_CORPUS_SHUFFLE,
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

@@ -560,7 +560,9 @@ def test_registry_window_carries_full_signal():
                    # displaced by the round-5-new corpus_shuffle (exact)
                    "events_asof_orders",
                    # displaced by the round-5-new temperature_sample
-                   "customers_with_orders"}
+                   "customers_with_orders",
+                   # displaced by the round-5-new pack_sequences (exact)
+                   "order_priority_exists"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -576,7 +578,8 @@ def test_registry_window_carries_full_signal():
     engine_changed_r5 = {"token_postings", "corpus_lang_stats",
                          "doc_keywords", "doc_pmi", "doc_bigram_ppl",
                          "doc_line_dedup",  # round-5-NEW exact queries
-                         "corpus_shuffle", "temperature_sample"}
+                         "corpus_shuffle", "temperature_sample",
+                         "pack_sequences"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
@@ -878,3 +881,45 @@ def test_temperature_sample_flattens_mix(ray_session):
     # rarest language kept (approximately) whole: rate 1 up to hash noise
     rare = full.idxmin()
     assert kept[rare] >= 0.9 * full[rare]
+
+
+def test_pack_training_sequences_invariants(ray_session):
+    """Packing invariants on a planted corpus: every token of every
+    non-empty doc is covered exactly once, every sequence except each
+    shard's tail is filled to exactly seq_len, spans are contiguous in
+    both doc and sequence coordinates, empty docs emit nothing."""
+    from kb_ner_ray.stages.packing import pack_training_sequences
+
+    texts = {0: "a b c d e", 1: "", 2: " ".join(f"w{i}" for i in range(23)),
+             3: "x", 4: "p q r s t u v", 5: "   "}
+    docs = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+    })
+    L = 8
+    out = (pack_training_sequences(
+        ray.data.from_arrow(docs).repartition(3), seq_len=L, n_shards=2)
+        .to_pandas().sort_values(["shard", "seq_id", "seq_offset"])
+        .reset_index(drop=True))
+    n_tok = {i: len(t.split()) for i, t in texts.items()}
+    # per-doc coverage: contiguous [0, n_tok) in doc coordinates
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("doc_offset")
+        assert g["doc_offset"].iloc[0] == 0
+        assert (g["doc_offset"] + g["n_tokens"]).iloc[-1] == n_tok[did]
+        assert (g["doc_offset"].to_numpy()[1:]
+                == (g["doc_offset"] + g["n_tokens"]).to_numpy()[:-1]).all()
+    assert set(out["doc_id"]) == {i for i, n in n_tok.items() if n > 0}
+    # per-sequence fill: contiguous from 0; all but the shard tail == L
+    for (sh, sq), g in out.groupby(["shard", "seq_id"]):
+        g = g.sort_values("seq_offset")
+        assert g["seq_offset"].iloc[0] == 0
+        fill = int(g["n_tokens"].sum())
+        assert (g["seq_offset"].to_numpy()[1:]
+                == (g["seq_offset"] + g["n_tokens"]).to_numpy()[:-1]).all()
+        if sq < out[out["shard"] == sh]["seq_id"].max():
+            assert fill == L
+        else:
+            assert 0 < fill <= L
+    # total conservation
+    assert int(out["n_tokens"].sum()) == sum(n_tok.values())
