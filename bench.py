@@ -46,6 +46,9 @@ SIDE_QUERIES = [
     "doc_quality_buckets",
     "doc_pmi",
     "doc_keywords",
+    # round-5 operators
+    "doc_line_dedup",
+    "pack_sequences",
 ]
 
 

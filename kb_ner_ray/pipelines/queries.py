@@ -2913,6 +2913,53 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_pricing_cube(sf_dir: str):
+    """CUBE grouping sets — completes the grouping-sets family next to
+    ROLLUP (q_pricing_rollup): all four levels of (returnflag,
+    linestatus) subtotals from ONE corpus pass over the bounded finest
+    level; each coarser level re-aggregates the final rows."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pa.array(_cents(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)), pa.int64())
+        return (t.append_column("c", c)
+                .group_by(["l_returnflag", "l_linestatus"])
+                .aggregate([("c", "sum"), ("c", "count")])
+                .rename_columns(["l_returnflag", "l_linestatus",
+                                 "price_cents", "n"]))
+
+    fine = _tree_agg(ds, ["l_returnflag", "l_linestatus"],
+                     partial, {"price_cents": "sum", "n": "sum"})
+    by_rf = (fine.groupby("l_returnflag", as_index=False)
+             [["price_cents", "n"]].sum())
+    by_rf["l_linestatus"] = "ALL"
+    by_ls = (fine.groupby("l_linestatus", as_index=False)
+             [["price_cents", "n"]].sum())
+    by_ls["l_returnflag"] = "ALL"
+    top = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "price_cents": [fine["price_cents"].sum()],
+                        "n": [fine["n"].sum()]})
+    cols = ["l_returnflag", "l_linestatus", "price_cents", "n"]
+    out = pd.concat([fine[cols], by_rf[cols], by_ls[cols], top[cols]],
+                    ignore_index=True)
+    return out.astype({"price_cents": np.int64, "n": np.int64})
+
+
+SQL_PRICING_CUBE = """
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS l_returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+            ELSE l_linestatus END AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS price_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q_customer_activity_left(sf_dir: str):
     """LEFT OUTER equi-join — the join-matrix completion (inner / semi /
     anti / as-of / range already covered): customers joined to per-user
@@ -3575,7 +3622,7 @@ def queries_registry():
         "events_topn_per_type": q_events_topn_per_type,
         "bm25_search": q_bm25_search,
         "pack_sequences": q_pack_sequences,
-        "corpus_stats": q_corpus_stats,
+        "pricing_cube": q_pricing_cube,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "ngram_jaccard_components": q_ngram_jaccard_components,
         "near_dup_keep": q_near_dup_keep,
@@ -3634,6 +3681,7 @@ def queries_registry():
         "events_asof_orders": q_events_asof_orders,
         "customers_with_orders": q_customers_with_orders,
         "order_priority_exists": q_order_priority_exists,
+        "corpus_stats": q_corpus_stats,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3671,6 +3719,7 @@ def oracle_registry():
         "corpus_shuffle": SQL_CORPUS_SHUFFLE,
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "pricing_cube": SQL_PRICING_CUBE,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,
