@@ -303,6 +303,64 @@ def _stage_decontaminate(ds, ctx, benchmark: str = "", n: int = 8,
                          max_benchmark_bytes=max_benchmark_bytes)
 
 
+@register("line_dedup")
+def _stage_line_dedup(ds, ctx, n_salts: int | None = None):
+    """C4-style cross-document line dedup with first-occurrence rewrite
+    (round 5); input needs (doc_id, text)."""
+    from ..stages.dedup import line_dedup
+
+    return line_dedup(ds, n_salts=n_salts)
+
+
+@register("temperature_sample")
+def _stage_temperature_sample(ds, ctx, alpha: float = 0.3,
+                              group_col: str = "lang",
+                              id_col: str = "doc_id"):
+    """mBERT/XLM-R temperature resampling over any group column:
+    deterministic downsample-only rates (n_min/n_g)^(1-alpha)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select([group_col, id_col]).group_by(group_col)
+                .aggregate([(id_col, "count")])
+                .rename_columns([group_col, "c"]))
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(group_col, as_index=False)["c"].sum())
+    mn = float(cnt["c"].min())
+    thr = {s: int(np.floor(99_991 * (mn / float(c)) ** (1 - alpha) + 0.5))
+           for s, c in zip(cnt[group_col], cnt["c"])}
+    rref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        th = np.array([r[s] for s in t[group_col].to_pylist()], np.int64)
+        return t.filter(pa.array((ids * 48_271 + 7) % 99_991 < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+@register("pack_sequences")
+def _stage_pack_sequences(ds, ctx, seq_len: int = 2048,
+                          n_shards: int | None = None):
+    """GPT/T5 concat-and-chunk packing index over (doc_id, text)."""
+    from ..stages.packing import pack_training_sequences
+
+    return pack_training_sequences(ds, seq_len=seq_len, n_shards=n_shards)
+
+
+@register("shuffle_index")
+def _stage_shuffle_index(ds, ctx, id_col: str = "doc_id",
+                         n_shards: int | None = None):
+    """Deterministic training-order (shard, pos) index (round 5)."""
+    from ..stages.partitioning import deterministic_shuffle
+
+    return deterministic_shuffle(ds, id_col=id_col, n_shards=n_shards)
+
+
 @register("doc_context")
 def _stage_doc_context(ds, ctx, doc_col: str = "url",
                        order_col: str = "sent_id", text_col: str = "text",

@@ -221,3 +221,46 @@ def test_config_full_cleaning_chain(ray_session, tmp_path):
     # 3 dies at the gopher gate, 1 dies as a near-dup of 0
     assert kept["doc_id"].tolist() == [0, 2]
     assert "text" in kept.columns
+
+
+def test_config_training_data_stages(ray_session, tmp_path):
+    """Round-5 training-data stages compose from YAML-shaped configs:
+    line_dedup rewrites duplicates away, pack_sequences chains on the
+    rewritten docs, temperature_sample flattens a skewed group mix, and
+    shuffle_index emits the deterministic training order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["shared boilerplate\nunique zero", "shared boilerplate\nuno",
+             "shared boilerplate\ndos words here"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en", "en", "de"], pa.string())}),
+        str(d / "p.parquet"))
+
+    cfg = PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("line_dedup"),
+                StageConfig("pack_sequences",
+                            {"seq_len": 4, "n_shards": 1})])
+    packed = build_pipeline(cfg).to_pandas()
+    # doc 0 keeps both lines (4 tokens), docs 1/2 lose the boilerplate
+    # (1 + 3 tokens) -> 8 tokens total -> exactly two full 4-seqs
+    assert int(packed["n_tokens"].sum()) == 8
+    assert set(packed["seq_id"]) == {0, 1}
+
+    cfg2 = PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("temperature_sample", {"alpha": 0.3})])
+    kept = build_pipeline(cfg2).to_pandas()
+    assert "de" in set(kept["lang"])  # rarest group kept
+
+    cfg3 = PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("shuffle_index", {"n_shards": 2})])
+    idx = build_pipeline(cfg3).to_pandas()
+    assert sorted(idx["doc_id"]) == [0, 1, 2]
+    assert set(idx.columns) == {"doc_id", "shard", "pos"}
