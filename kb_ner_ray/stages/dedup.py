@@ -1173,7 +1173,11 @@ def line_dedup(docs_ds, n_buckets: int | None = None,
     occurrence (<= n_salts fixed-width candidate rows per line reach
     phase 2), and the winner rows + one per-doc sentinel make the
     doc-bucket rebuild shuffle fixed-width outside the kept text
-    itself.  Arrow-vectorized explode (split_pattern +
+    itself.  The line rows and the per-doc sentinels come from two
+    INDEPENDENT streaming passes (splitting twice is cheap; the
+    alternative — one combined pass — forces a materialize of the
+    whole exploded corpus in the object store because two consumers
+    hang off it).  Arrow-vectorized explode (split_pattern +
     list_parent_indices), no Python loop over lines outside the final
     per-doc join.
     """
@@ -1189,39 +1193,48 @@ def line_dedup(docs_ds, n_buckets: int | None = None,
     nb = n_buckets or default_buckets()
     ns = n_salts or default_salts()
 
-    def explode(t: pa.Table) -> pa.Table:
+    def _split(t: pa.Table):
         ls = pc.split_pattern(t["text"].combine_chunks()
                               if isinstance(t["text"], pa.ChunkedArray)
                               else t["text"], "\n")
         flat = pc.utf8_trim(pc.list_flatten(ls), _LINE_STRIP)
         par = pc.list_parent_indices(ls).to_numpy(zero_copy_only=False)
+        keepm = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return ls, flat, par, keepm
+
+    def explode(t: pa.Table) -> pa.Table:
+        ls, flat, par, keepm = _split(t)
         off = ls.offsets.to_numpy(zero_copy_only=False)
         idx = np.arange(len(flat), dtype=np.int64) - off[par]
-        keepm = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         line = flat.to_numpy(zero_copy_only=False)[keepm]
         did = ids[par[keepm]].astype(np.int64)
-        lidx = idx[keepm]
-        # per-doc sentinel: presence + non-empty line count (side=1)
-        n_nz = np.bincount(par[keepm], minlength=len(t)).astype(np.int64)
         lb = bucket_array(line, nb).astype(np.int64)
         st = bucket_array(did, ns).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(np.concatenate([did, ids.astype(np.int64)])),
-            "idx": pa.array(np.concatenate([lidx, n_nz])),
-            "line": pa.array(list(line) + [None] * len(t), pa.string()),
-            "__k": pa.array(np.concatenate(
-                [lb * ns + st, bucket_array(ids, nb).astype(np.int64)])),
-            "__side": pa.array(np.concatenate(
-                [np.zeros(len(line), np.int8),
-                 np.ones(len(t), np.int8)]).astype(np.int8)),
+            "doc_id": pa.array(did),
+            "idx": pa.array(idx[keepm]),
+            "line": pa.array(line, pa.string()),
+            "__k": pa.array(lb * ns + st),
+            "__side": pa.array(np.zeros(len(line), np.int8)),
         })
 
-    rows = (docs_ds.select_columns(["doc_id", "text"])
-            .map_batches(explode, batch_format="pyarrow")
-            .materialize())
-    lines = rows.filter(expr="__side == 0")
-    sentinels = rows.filter(expr="__side == 1")
+    def sentinel(t: pa.Table) -> pa.Table:
+        # per-doc presence + non-empty line count: fixed-width only
+        _ls, _flat, par, keepm = _split(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_nz = np.bincount(par[keepm], minlength=len(t)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "idx": pa.array(n_nz),
+            "line": pa.nulls(len(t), pa.string()),
+            "__k": pa.array(bucket_array(ids, nb).astype(np.int64)),
+            "__side": pa.array(np.ones(len(t), np.int8)),
+        })
+
+    src = docs_ds.select_columns(["doc_id", "text"])
+    lines = src.map_batches(explode, batch_format="pyarrow")
+    sentinels = src.map_batches(sentinel, batch_format="pyarrow")
 
     def salt_min(g: pd.DataFrame) -> pd.DataFrame:
         # one (line-bucket, salt) group: keep the salt-local min
