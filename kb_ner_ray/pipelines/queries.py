@@ -3396,6 +3396,63 @@ GROUP BY d.doc_id
 """
 
 
+def q_doc_contamination_frac(sf_dir: str):
+    """Thresholded contamination FRACTION (Dolma-style: a doc is
+    contaminated when >= 10% of its distinct 8-grams appear in the
+    benchmark, not on a single shared gram).  Same broadcast-small-side
+    zero-shuffle plan as doc_decontaminate, with per-doc distinct-gram
+    counts and basis-point quantization on both sides."""
+    from ..stages.dedup import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split_filter(lo: int, hi: int):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.cast(
+                pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], 10), 10)),
+                pa.int64())
+            keep = pc.and_(pc.greater_equal(m, lo), pc.less(m, hi))
+            return t.filter(keep)
+        return fn
+
+    train = docs.map_batches(split_filter(0, 8), batch_format="pyarrow")
+    bench = docs.map_batches(split_filter(9, 10), batch_format="pyarrow")
+    return decontaminate(train, bench, n=8, frac_threshold_bp=1000)
+
+
+SQL_CONTAMINATION_FRAC = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 10 AS m,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, m, array_to_string(t[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, m, t, unnest([x for x in range(1, len(t) - 6)]) AS i
+        FROM toks)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE m = 9),
+tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE m < 8),
+st AS (
+  SELECT d.doc_id,
+         CAST(count(b.gram) AS BIGINT) AS n_overlap,
+         CAST(count(tr.gram) AS BIGINT) AS n_grams
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 8) d
+  LEFT JOIN tr ON tr.doc_id = d.doc_id
+  LEFT JOIN bench b ON b.gram = tr.gram
+  GROUP BY d.doc_id)
+SELECT doc_id, n_overlap, n_grams,
+       CAST(CASE WHEN n_grams = 0 THEN 0
+                 ELSE FLOOR(10000.0 * n_overlap / n_grams + 0.5) END
+            AS BIGINT) AS frac_bp,
+       CAST(CASE WHEN n_grams > 0
+                  AND FLOOR(10000.0 * n_overlap / n_grams + 0.5) >= 1000
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM st
+"""
+
+
 def q_approx_quantiles_value(sf_dir: str):
     """Mergeable ε-approximate quantiles over events.value (equi-depth
     grid partials -> driver weighted merge).  Rows-only: rank error is
@@ -3611,7 +3668,7 @@ def queries_registry():
         "corpus_shuffle": q_corpus_shuffle,
         "doc_pmi": q_doc_pmi,
         "doc_token_stats": q_doc_token_stats,
-        "doc_fingerprints": q_doc_fingerprints,
+        "doc_contamination_frac": q_doc_contamination_frac,
         "doc_quality": q_doc_quality,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_word_repetition": q_doc_word_repetition,
@@ -3682,6 +3739,7 @@ def queries_registry():
         "customers_with_orders": q_customers_with_orders,
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
+        "doc_fingerprints": q_doc_fingerprints,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3720,6 +3778,7 @@ def oracle_registry():
         "temperature_sample": SQL_TEMPERATURE_SAMPLE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pricing_cube": SQL_PRICING_CUBE,
+        "doc_contamination_frac": SQL_CONTAMINATION_FRAC,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

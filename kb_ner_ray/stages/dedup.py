@@ -1081,7 +1081,8 @@ def remove_repeated_passages(docs_ds, n: int = 10, min_docs: int = 2,
 
 
 def decontaminate(docs_ds, benchmark_ds, n: int = 8,
-                  max_benchmark_bytes: int = 1 << 30):
+                  max_benchmark_bytes: int = 1 << 30,
+                  frac_threshold_bp: int | None = None):
     """Benchmark decontamination: flag corpus docs sharing >= 1 word
     n-gram with a benchmark/eval set (the standard train-set hygiene
     step; cf. the n-gram-overlap decontamination in GPT-3 appendix C /
@@ -1097,7 +1098,13 @@ def decontaminate(docs_ds, benchmark_ds, n: int = 8,
     corpus-vs-corpus overlap).
 
     Returns Dataset(doc_id, n_overlap, contaminated) over ``docs_ds``
-    (n_overlap = count of DISTINCT shared grams).
+    (n_overlap = count of DISTINCT shared grams).  With
+    ``frac_threshold_bp`` set (basis points), the output instead carries
+    the Dolma-style thresholded overlap FRACTION: (doc_id, n_overlap,
+    n_grams, frac_bp, contaminated) where frac_bp =
+    floor(1e4 * n_overlap / n_grams + 0.5) and contaminated =
+    frac_bp >= threshold (a doc with no grams scores 0) — a single
+    shared benchmark gram no longer condemns a long document.
     """
     import ray
     import ray.data  # noqa: F401  (docs_ds already implies ray.data)
@@ -1128,17 +1135,32 @@ def decontaminate(docs_ds, benchmark_ds, n: int = 8,
         bench = ray.get(grams_ref)  # zero-copy per worker
         ids = t.column("doc_id")
         n_over = np.zeros(t.num_rows, np.int64)
+        n_grams = np.zeros(t.num_rows, np.int64)
         for i, text in enumerate(t.column("text").to_pylist()):
             hs = np.fromiter(set(_ngram_hashes(text, n)), np.int64)
+            n_grams[i] = len(hs)
             if len(hs) and len(bench):
                 pos = np.searchsorted(bench, hs)
                 pos[pos == len(bench)] = 0
                 n_over[i] = int((bench[pos] == hs).sum())
+        if frac_threshold_bp is None:
+            return pa.table({
+                "doc_id": ids,
+                "n_overlap": pa.array(n_over, pa.int64()),
+                "contaminated": pa.array((n_over > 0).astype(np.int64),
+                                         pa.int64()),
+            })
+        frac = np.zeros(t.num_rows, np.int64)
+        nz = n_grams > 0
+        frac[nz] = np.floor(10_000.0 * n_over[nz] / n_grams[nz]
+                            + 0.5).astype(np.int64)
         return pa.table({
             "doc_id": ids,
             "n_overlap": pa.array(n_over, pa.int64()),
-            "contaminated": pa.array((n_over > 0).astype(np.int64),
-                                     pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "frac_bp": pa.array(frac, pa.int64()),
+            "contaminated": pa.array(
+                (frac >= frac_threshold_bp).astype(np.int64), pa.int64()),
         })
 
     return docs_ds.map_batches(flag, batch_format="pyarrow")

@@ -564,7 +564,9 @@ def test_registry_window_carries_full_signal():
                    # displaced by the round-5-new pack_sequences (exact)
                    "order_priority_exists",
                    # displaced by the round-5-new pricing_cube (exact)
-                   "corpus_stats"}
+                   "corpus_stats",
+                   # displaced by round-5-new doc_contamination_frac
+                   "doc_fingerprints"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -581,7 +583,8 @@ def test_registry_window_carries_full_signal():
                          "doc_keywords", "doc_pmi", "doc_bigram_ppl",
                          "doc_line_dedup",  # round-5-NEW exact queries
                          "corpus_shuffle", "temperature_sample",
-                         "pack_sequences", "pricing_cube"}
+                         "pack_sequences", "pricing_cube",
+                         "doc_contamination_frac"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
