@@ -3453,6 +3453,30 @@ FROM st
 """
 
 
+def q_corpus_export(sf_dir: str):
+    """Resumable sharded training-corpus export (pipelines/export.py):
+    routes docs to md5-derived shards, writes manifest-tracked parquet
+    partitions in deterministic training order, reads the result back.
+    The round-trip content is exactly oracle-expressible (documents +
+    the md5 order key)."""
+    import os as _os
+
+    from ..pipelines.export import (export_training_shards,
+                                    read_training_order)
+
+    out = (f"/tmp/kbner_export/{_os.path.basename(sf_dir.rstrip('/'))}"
+           f"-{_os.getpid()}")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    export_training_shards(ds, out, n_shards=8)
+    return read_training_order(out)
+
+
+SQL_CORPUS_EXPORT = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS order_key, text
+FROM documents
+"""
+
+
 def q_approx_quantiles_value(sf_dir: str):
     """Mergeable ε-approximate quantiles over events.value (equi-depth
     grid partials -> driver weighted merge).  Rows-only: rank error is
@@ -3671,7 +3695,7 @@ def queries_registry():
         "doc_contamination_frac": q_doc_contamination_frac,
         "doc_quality": q_doc_quality,
         "doc_gopher_rules": q_doc_gopher_rules,
-        "doc_word_repetition": q_doc_word_repetition,
+        "corpus_export": q_corpus_export,
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
         "embed_near_dup": q_embed_near_dup,
@@ -3740,6 +3764,7 @@ def queries_registry():
         "order_priority_exists": q_order_priority_exists,
         "corpus_stats": q_corpus_stats,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_word_repetition": q_doc_word_repetition,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3779,6 +3804,7 @@ def oracle_registry():
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pricing_cube": SQL_PRICING_CUBE,
         "doc_contamination_frac": SQL_CONTAMINATION_FRAC,
+        "corpus_export": SQL_CORPUS_EXPORT,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,
