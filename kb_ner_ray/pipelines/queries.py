@@ -3067,6 +3067,92 @@ FROM r GROUP BY event_type
 """
 
 
+def q_events_winsorized_stats(sf_dir: str):
+    """Winsorized (outlier-clipped) robust mean per event_type — the
+    standard heavy-tail-robust statistic for data-quality dashboards:
+    exact p05/p95 cents cutoffs via the shared grouped selection
+    machinery (all targets share each histogram pass), cutoffs
+    broadcast as scalars, then ONE clip-and-sum pass with bounded
+    per-batch combiners.  Integer cents end-to-end; the only float op
+    (sum/n) is the identical double expression in the oracle."""
+    import math
+
+    from ..stages.selection import grouped_exact_kth
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": pa.array(_cents(v), pa.int64()),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("event_type").aggregate([("c", "count")])
+                .rename_columns(["event_type", "n"]))
+
+    cnt = _tree_agg(cds, ["event_type"], count_partial, {"n": "sum"})
+    ranks = {r.event_type: [max(1, math.ceil(r.n * 0.05)),
+                            max(1, math.ceil(r.n * 0.95))]
+             for r in cnt.itertuples()}
+    got = grouped_exact_kth(cds, "event_type", "c", ranks)
+    cuts = {g: (got[(g, ks[0])], got[(g, ks[1])])
+            for g, ks in ranks.items()}
+    cref = ray.put(cuts)
+
+    def clip_partial(t: pa.Table) -> pa.Table:
+        cu = ray.get(cref)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "c": t["c"].to_numpy(zero_copy_only=False),
+        })
+        lo = df["event_type"].map(lambda g: cu[g][0]).to_numpy(np.int64)
+        hi = df["event_type"].map(lambda g: cu[g][1]).to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        df["w"] = np.clip(c, lo, hi)
+        df["clipped"] = ((c < lo) | (c > hi)).astype(np.int64)
+        out = df.groupby("event_type", as_index=False).agg(
+            s=("w", "sum"), n=("w", "size"), n_clipped=("clipped", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = _tree_agg(cds, ["event_type"], clip_partial,
+                    {"s": "sum", "n": "sum", "n_clipped": "sum"})
+    agg["wmean_cents"] = np.floor(
+        agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64)
+        + 0.5).astype(np.int64)
+    return (agg[["event_type", "wmean_cents", "n", "n_clipped"]]
+            .astype({"wmean_cents": np.int64, "n": np.int64,
+                     "n_clipped": np.int64}))
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+cut AS (SELECT event_type,
+               max(CASE WHEN rn = GREATEST(1, CAST(ceil(n * 0.05)
+                   AS BIGINT)) THEN c END) AS lo,
+               max(CASE WHEN rn = GREATEST(1, CAST(ceil(n * 0.95)
+                   AS BIGINT)) THEN c END) AS hi
+        FROM r GROUP BY event_type)
+SELECT v.event_type,
+       CAST(FLOOR(sum(LEAST(GREATEST(v.c, cut.lo), cut.hi)) * 1.0
+                  / count(*) + 0.5) AS BIGINT) AS wmean_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v.c < cut.lo OR v.c > cut.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM v JOIN cut USING (event_type)
+GROUP BY v.event_type
+"""
+
+
 TFIDF_TOPK = 5
 
 
@@ -3693,7 +3779,7 @@ def queries_registry():
         "doc_pmi": q_doc_pmi,
         "doc_token_stats": q_doc_token_stats,
         "doc_contamination_frac": q_doc_contamination_frac,
-        "doc_quality": q_doc_quality,
+        "events_winsorized_stats": q_events_winsorized_stats,
         "doc_gopher_rules": q_doc_gopher_rules,
         "corpus_export": q_corpus_export,
         "dedup_exact": q_dedup_exact,
@@ -3765,6 +3851,7 @@ def queries_registry():
         "corpus_stats": q_corpus_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_word_repetition": q_doc_word_repetition,
+        "doc_quality": q_doc_quality,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3805,6 +3892,7 @@ def oracle_registry():
         "pricing_cube": SQL_PRICING_CUBE,
         "doc_contamination_frac": SQL_CONTAMINATION_FRAC,
         "corpus_export": SQL_CORPUS_EXPORT,
+        "events_winsorized_stats": SQL_EVENTS_WINSORIZED,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,
