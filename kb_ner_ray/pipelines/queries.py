@@ -3153,6 +3153,33 @@ GROUP BY v.event_type
 """
 
 
+def q_doc_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution
+    (stages/textstats.doc_token_entropy): the lexical-diversity /
+    gibberish quality signal.  Stateless vectorized map, zero
+    shuffles; nats quantized to basis points."""
+    from ..stages.textstats import doc_token_entropy
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(doc_token_entropy, batch_format="pyarrow")
+
+
+SQL_DOC_TOKEN_ENTROPY = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+      FROM toks GROUP BY doc_id, tok),
+n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+             sum(c * ln(c)) AS s
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(FLOOR((ln(n) - s / n) * 10000 + 0.5) AS BIGINT) AS entropy_bp
+FROM n
+"""
+
+
 TFIDF_TOPK = 5
 
 
@@ -3786,7 +3813,7 @@ def queries_registry():
         "knn_bruteforce": q_knn_bruteforce,
         "embed_near_dup": q_embed_near_dup,
         "temperature_sample": q_temperature_sample,
-        "events_topn_per_type": q_events_topn_per_type,
+        "doc_token_entropy": q_doc_token_entropy,
         "bm25_search": q_bm25_search,
         "pack_sequences": q_pack_sequences,
         "pricing_cube": q_pricing_cube,
@@ -3852,6 +3879,7 @@ def queries_registry():
         "doc_fingerprints": q_doc_fingerprints,
         "doc_word_repetition": q_doc_word_repetition,
         "doc_quality": q_doc_quality,
+        "events_topn_per_type": q_events_topn_per_type,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3893,6 +3921,7 @@ def oracle_registry():
         "doc_contamination_frac": SQL_CONTAMINATION_FRAC,
         "corpus_export": SQL_CORPUS_EXPORT,
         "events_winsorized_stats": SQL_EVENTS_WINSORIZED,
+        "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

@@ -712,3 +712,34 @@ def bigram_ppl(docs_ds, n_buckets: int | None = None, min_count: int = 2,
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_token_entropy(batch: pa.Table) -> pa.Table:
+    """Per-document Shannon entropy of the token distribution (nats,
+    basis points) — the lexical-diversity / gibberish quality signal
+    (low entropy = repeated-token spam, near-max = natural text; used
+    alongside the Gopher repetition rules).  Stateless vectorized map,
+    zero shuffles: H = ln(n) - (1/n) * sum_t c_t ln c_t over the doc's
+    own counts.  Empty docs score 0 (one synthetic '' token, n=1 — the
+    shared tokenizer's DuckDB regexp_split parity contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from .sparse import _tokenize_batch
+
+    flat, di, lengths = _tokenize_batch(batch, "text")
+    cnt = (pd.DataFrame({"d": di,
+                         "t": flat.to_numpy(zero_copy_only=False)})
+           .groupby(["d", "t"], sort=False).size())
+    c = cnt.to_numpy(np.float64)
+    d = cnt.index.get_level_values(0).to_numpy(np.int64)
+    s = np.zeros(len(batch), np.float64)
+    np.add.at(s, d, c * np.log(c))
+    n = lengths.astype(np.float64)
+    ent = np.log(n) - s / n
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(lengths, pa.int64()),
+        "entropy_bp": pa.array(
+            np.floor(ent * 10_000 + 0.5).astype(np.int64)),
+    })

@@ -570,7 +570,9 @@ def test_registry_window_carries_full_signal():
                    # displaced by the round-5-new corpus_export (exact)
                    "doc_word_repetition",
                    # displaced by round-5-new events_winsorized_stats
-                   "doc_quality"}
+                   "doc_quality",
+                   # displaced by round-5-new doc_token_entropy
+                   "events_topn_per_type"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -589,7 +591,7 @@ def test_registry_window_carries_full_signal():
                          "corpus_shuffle", "temperature_sample",
                          "pack_sequences", "pricing_cube",
                          "doc_contamination_frac", "corpus_export",
-                         "events_winsorized_stats"}
+                         "events_winsorized_stats", "doc_token_entropy"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
