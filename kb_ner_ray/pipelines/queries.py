@@ -3180,6 +3180,81 @@ FROM n
 """
 
 
+def q_source_reputation_filter(sf_dir: str):
+    """Domain-reputation wholesale filter (the RefinedWeb/C4 move: drop
+    BAD SOURCES entirely, not just their bad documents): per-source
+    Gopher-keep rates via one bucketed combiner shuffle (source is an
+    unbounded domain key at web scale), the small GOOD-source set
+    broadcast behind a measured-bytes gate, then a vectorized semi-join
+    keep pass.  Integer threshold (keep rate >= 55%, 20*nk >= 11*n) so
+    the oracle hash-matches.  Returns the surviving (doc_id, source)."""
+    from ..stages.textstats import doc_gopher_rules
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def rep_partial(t: pa.Table) -> pa.Table:
+        g = doc_gopher_rules(t)  # row-aligned with t
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "keep": g["keep"].to_numpy(zero_copy_only=False),
+        }).groupby("source", as_index=False).agg(
+            n=("keep", "size"), nk=("keep", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def rep_final(grp: pd.DataFrame) -> pa.Table:
+        out = grp.groupby("source", as_index=False)[["n", "nk"]].sum()
+        good = out[20 * out["nk"] >= 11 * out["n"]]
+        return pa.table({"source": pa.array(good["source"].to_numpy(object),
+                                            pa.string())})
+
+    good_ds = _bucketed_agg(ds, ["source"], rep_partial,
+                            rep_final).materialize()
+    gbytes = good_ds.size_bytes() or 0
+    if gbytes > (1 << 30):
+        raise ValueError(
+            f"source_reputation_filter: good-source set is {gbytes} bytes "
+            "(> 1 GiB); use a bucketed semi-join on source instead of the "
+            "broadcast keep pass")
+    gpdf = good_ds.to_pandas()
+    # a zero-row dataset loses its columns through to_pandas; an empty
+    # GOOD set is a legitimate (if brutal) outcome of the filter
+    good = set(gpdf["source"]) if len(gpdf) else set()
+    gref = ray.put(good)
+
+    def keep(t: pa.Table) -> pa.Table:
+        gs = ray.get(gref)
+        m = pa.array([s in gs for s in t["source"].to_pylist()])
+        return t.filter(m).select(["doc_id", "source"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_SOURCE_REPUTATION = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(regexp_replace(text, '\s+', '', 'g')) AS total_chars,
+         length(text) - length(replace(text, '#', '')) AS hash_count
+  FROM documents),
+k AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) BETWEEN 50 AND 100000
+                   AND 3 * len(toks) <= total_chars
+                   AND total_chars <= 10 * len(toks)
+                   AND 10 * len(list_filter(toks,
+                         w -> regexp_matches(w, '[A-Za-z]')))
+                       >= 8 * len(toks)
+                   AND 10 * hash_count <= len(toks)
+              THEN 1 ELSE 0 END AS keep
+  FROM t),
+rep AS (SELECT source, count(*) AS n, sum(keep) AS nk
+        FROM k GROUP BY source)
+SELECT k.doc_id, k.source
+FROM k JOIN rep USING (source)
+WHERE 20 * rep.nk >= 11 * rep.n
+"""
+
+
 TFIDF_TOPK = 5
 
 
@@ -3810,7 +3885,7 @@ def queries_registry():
         "doc_gopher_rules": q_doc_gopher_rules,
         "corpus_export": q_corpus_export,
         "dedup_exact": q_dedup_exact,
-        "knn_bruteforce": q_knn_bruteforce,
+        "source_reputation_filter": q_source_reputation_filter,
         "embed_near_dup": q_embed_near_dup,
         "temperature_sample": q_temperature_sample,
         "doc_token_entropy": q_doc_token_entropy,
@@ -3880,6 +3955,7 @@ def queries_registry():
         "doc_word_repetition": q_doc_word_repetition,
         "doc_quality": q_doc_quality,
         "events_topn_per_type": q_events_topn_per_type,
+        "knn_bruteforce": q_knn_bruteforce,
         "events_hopping": q_events_hopping,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "doc_quality_buckets_by_lang": q_doc_quality_buckets_by_lang,
@@ -3922,6 +3998,7 @@ def oracle_registry():
         "corpus_export": SQL_CORPUS_EXPORT,
         "events_winsorized_stats": SQL_EVENTS_WINSORIZED,
         "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
+        "source_reputation_filter": SQL_SOURCE_REPUTATION,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

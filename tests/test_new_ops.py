@@ -572,7 +572,9 @@ def test_registry_window_carries_full_signal():
                    # displaced by round-5-new events_winsorized_stats
                    "doc_quality",
                    # displaced by round-5-new doc_token_entropy
-                   "events_topn_per_type"}
+                   "events_topn_per_type",
+                   # displaced by round-5-new source_reputation_filter
+                   "knn_bruteforce"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -591,7 +593,8 @@ def test_registry_window_carries_full_signal():
                          "corpus_shuffle", "temperature_sample",
                          "pack_sequences", "pricing_cube",
                          "doc_contamination_frac", "corpus_export",
-                         "events_winsorized_stats", "doc_token_entropy"}
+                         "events_winsorized_stats", "doc_token_entropy",
+                         "source_reputation_filter"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
