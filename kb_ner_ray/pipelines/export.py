@@ -6,20 +6,23 @@ packing.pack_training_sequences layout) into bytes a trainer reads.
 Layout (the repo's standard resumable sink, state/manifest.py):
 
     out_dir/
-      part=0000/*.parquet + _MANIFEST.json     <- shard 0, rows sorted
-      part=0001/...                               by the md5 training
-      ...                                         order (pos)
+      part=0000/data.parquet + _MANIFEST.json   <- shard 0, rows sorted
+      part=0001/...                                by the md5 training
+      ...                                          order (order_key)
       _DONE
 
 100-TB shape: ONE bucketed shuffle routes each doc (text travels once)
-to its md5-derived shard; every shard writes its own partition dir via
-``Dataset.write_parquet`` (blocks land directly from the workers — no
-driver concat), with the manifest fingerprint binding the shard to the
-input so a rerun skips finished shards and a changed input invalidates
-exactly the shards it touches (same contract as run.run_resumable).
-Shards are written one Dataset-job at a time from a shared base pass;
-each job filters its shard from the materialized hashed base (the
-blocks live in the object store once).
+to its md5-derived shard, and each shard REDUCER writes its own
+partition atomically where it already holds the rows
+(state/manifest.write_partition_table — no per-shard Dataset job, no
+driver concat; an earlier revision launched one sequential filter+sort
+job per shard, which is n_shards full passes).  Docs of already-done
+shards are dropped at the hash pass, so a resume moves only the
+missing shards' bytes.  Cluster-scale ``n_shards`` so one shard
+(corpus/n_shards) fits a reducer — the standard bucketed-op contract.
+The order key stays in the rows: parquet file order inside a
+partition is writer-dependent, so the training order must be
+recoverable from the data itself.
 """
 
 from __future__ import annotations
@@ -28,22 +31,14 @@ import hashlib
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..state.manifest import (
     input_fingerprint,
     partition_done,
-    read_manifests,
-    write_partition_ds,
+    write_partition_table,
 )
-
-
-def _hash_batch(t: pa.Table, id_col: str, ns: int) -> pa.Table:
-    ids = t[id_col].to_numpy(zero_copy_only=False)
-    hx = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
-    shard = np.array([int(h[:8], 16) % ns for h in hx], np.int64)
-    return (t.append_column("__shard", pa.array(shard))
-            .append_column("__hx", pa.array(hx, pa.string())))
 
 
 def export_training_shards(docs_ds, out_dir: str, *,
@@ -61,33 +56,55 @@ def export_training_shards(docs_ds, out_dir: str, *,
     content-bound resume."""
     fp_src = input_fingerprint(input_files) if input_files else "unbound"
 
-    done = {m["partition"] for m in read_manifests(out_dir)} \
-        if not force else set()
-    skipped, computed = [], []
+    def fp(shard: int) -> str:
+        return f"{fp_src}:{shard}:{n_shards}"
 
-    hashed = (docs_ds.map_batches(
-        _hash_batch, batch_format="pyarrow",
-        fn_kwargs={"id_col": id_col, "ns": n_shards})
-        .materialize())
+    os.makedirs(out_dir, exist_ok=True)
+    pending = [s for s in range(n_shards)
+               if force or not partition_done(out_dir, s, fp(s))]
+    skipped = [s for s in range(n_shards) if s not in set(pending)]
+    if not pending:
+        with open(os.path.join(out_dir, "_DONE"), "w") as f:
+            f.write(f"{n_shards}\n")
+        return {"computed": [], "skipped": skipped}
 
-    for shard in range(n_shards):
-        fp = f"{fp_src}:{shard}:{n_shards}"
-        if shard in done and partition_done(out_dir, shard, fp):
-            skipped.append(shard)
-            continue
-        part = (hashed
-                .filter(expr=f"__shard == {shard}")
-                .sort("__hx")
-                .drop_columns(["__shard"])
-                .rename_columns({"__hx": "order_key"}))
-        # order_key stays in the rows: parquet file order within a
-        # partition is writer-dependent, so the training order must be
-        # recoverable from the data itself
-        write_partition_ds(out_dir, shard, part, fp)
-        computed.append(shard)
+    pend = set(pending)
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        shard = np.array([int(h[:8], 16) % n_shards for h in hx], np.int64)
+        keep = np.array([s in pend for s in shard])
+        t = (t.append_column("__shard", pa.array(shard))
+             .append_column("order_key", pa.array(hx, pa.string())))
+        return t.filter(pa.array(keep))
+
+    def write_shard(g: pd.DataFrame) -> pa.Table:
+        shard = int(g["__shard"].iloc[0])
+        g = g.sort_values(["order_key", id_col], kind="mergesort") \
+            .drop(columns=["__shard"])
+        write_partition_table(out_dir, shard,
+                              pa.Table.from_pandas(g, preserve_index=False),
+                              fp(shard))
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "n_rows": pa.array([len(g)], pa.int64())})
+
+    stats = (docs_ds.map_batches(hash_batch, batch_format="pyarrow")
+             .groupby("__shard")
+             .map_groups(write_shard, batch_format="pandas")
+             .to_pandas())
+    written = set(stats["shard"]) if len(stats) else set()
+    # a pending shard with NO rows still needs its (empty) manifest so
+    # resume doesn't recompute it forever
+    for s in pend - written:
+        write_partition_table(
+            out_dir, s,
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "order_key": pa.array([], pa.string())}),
+            fp(s))
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
         f.write(f"{n_shards}\n")
-    return {"computed": computed, "skipped": skipped}
+    return {"computed": sorted(pend), "skipped": skipped}
 
 
 def read_training_order(out_dir: str) -> pa.Table:
@@ -106,5 +123,6 @@ def read_training_order(out_dir: str) -> pa.Table:
         if not files:
             continue
         t = pa.concat_tables([pq.read_table(f) for f in files])
-        parts.append(t.take(pc.sort_indices(t["order_key"])))
+        if t.num_rows:
+            parts.append(t.take(pc.sort_indices(t["order_key"])))
     return pa.concat_tables(parts) if parts else pa.table({})

@@ -170,6 +170,37 @@ def write_partition_ds(out_dir: str, part_id: int, ds,
     return counters
 
 
+def write_partition_table(out_dir: str, part_id: int, table,
+                          fingerprint: str,
+                          counters: dict | None = None) -> dict:
+    """Atomic partition write of an in-memory Arrow table — the
+    WORKER-SIDE sibling of ``write_partition_ds`` for reducers that
+    materialize their partition anyway (e.g. a shard group inside
+    ``groupby().map_groups``): no Dataset job per partition, the
+    reducer writes its own rows where it holds them.  Same tmp-dir +
+    manifest + rename contract."""
+    import shutil
+
+    final = os.path.join(out_dir, f"part={part_id:04d}")
+    tmp = _tmp_dir(final)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "data.parquet"))
+    counters = dict(counters or {}, n_rows=table.num_rows)
+    manifest = {
+        "partition": part_id,
+        "input_fingerprint": fingerprint,
+        "n_rows": table.num_rows,
+        "counters": counters,
+        "schema_version": SCHEMA_VERSION,
+    }
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return counters
+
+
 def read_manifests(out_dir: str) -> list[dict]:
     out = []
     if not os.path.isdir(out_dir):
