@@ -37,14 +37,21 @@ import pyarrow as pa
 def pack_training_sequences(docs_ds, *, seq_len: int = 2048,
                             n_shards: int | None = None,
                             id_col: str = "doc_id",
-                            text_col: str = "text"):
+                            text_col: str = "text",
+                            token_counter=None):
     """Dataset(shard, seq_id, doc_id, doc_offset, seq_offset, n_tokens).
 
     Within a shard, docs concatenate in doc_id order and cut every
     ``seq_len`` tokens; a doc overlapping k sequences emits k rows.
     seq_id is shard-local and 0-based; the final partial sequence of a
     shard is emitted as-is (a trainer drops or pads exactly one tail
-    per shard).  Empty docs (0 tokens) emit nothing."""
+    per shard).  Empty docs (0 tokens) emit nothing.
+
+    ``token_counter``: optional ``fn(text) -> int`` for real subtoken
+    budgets — pass ``functions.tokenizer.subtoken_count`` (whose T1
+    backend seam accepts a HF tokenizer) to pack by BPE counts instead
+    of whitespace tokens; the default stays on the whitespace contract
+    the SQL oracle mirrors."""
     from .partitioning import default_buckets
     from .sparse import _tokenize_batch
 
@@ -55,6 +62,17 @@ def pack_training_sequences(docs_ds, *, seq_len: int = 2048,
         # 3 fixed-width ints per doc; the '' empty-text synth token of
         # the shared tokenizer must NOT count, so measure true splits
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        if token_counter is not None:
+            n_tok = np.array([int(token_counter(x))
+                              for x in t[text_col].to_pylist()], np.int64)
+            hx = [hashlib.md5(str(int(i)).encode()).hexdigest()[:8]
+                  for i in ids]
+            shard = np.array([int(h, 16) % ns for h in hx], np.int64)
+            return pa.table({
+                id_col: pa.array(ids.astype(np.int64)),
+                "shard": pa.array(shard),
+                "n_tok": pa.array(n_tok),
+            })
         _flat, di, lengths = _tokenize_batch(t, text_col)
         # lengths counts >=1 per doc ('' synth token for empty text);
         # re-zero genuinely empty docs

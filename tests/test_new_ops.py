@@ -938,3 +938,27 @@ def test_pack_training_sequences_invariants(ray_session):
             assert 0 < fill <= L
     # total conservation
     assert int(out["n_tokens"].sum()) == sum(n_tok.values())
+
+
+def test_pack_sequences_subtoken_counter(ray_session):
+    """The packing index accepts the T1 subtoken counter (the real-BPE
+    budget seam): totals equal the counter's own sums and every
+    non-tail sequence fills to exactly seq_len."""
+    from kb_ner_ray.functions.tokenizer import subtoken_count
+    from kb_ner_ray.stages.packing import pack_training_sequences
+
+    texts = ["hello world piece", "internationalization",
+             "a b c d e f g h", ""]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = (pack_training_sequences(
+        ray.data.from_arrow(docs), seq_len=4, n_shards=1,
+        token_counter=subtoken_count).to_pandas())
+    want_total = sum(subtoken_count(x) for x in texts)
+    assert int(out["n_tokens"].sum()) == want_total
+    per_doc = out.groupby("doc_id")["n_tokens"].sum().to_dict()
+    for i, x in enumerate(texts):
+        assert per_doc.get(i, 0) == subtoken_count(x) or (
+            subtoken_count(x) == 0 and i not in per_doc)
