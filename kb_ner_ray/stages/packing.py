@@ -98,7 +98,12 @@ def pack_training_sequences(docs_ds, *, seq_len: int = 2048,
         keep = n > 0
         ids = g[id_col].to_numpy(np.int64)[keep]
         n = n[keep]
-        shard = int(g["shard"].iloc[0]) if len(g) else 0
+        if not len(ids):  # a shard whose every doc is empty emits nothing
+            z = pa.array([], pa.int64())
+            return pa.table({"shard": z, "seq_id": z, id_col: z,
+                             "doc_offset": z, "seq_offset": z,
+                             "n_tokens": z})
+        shard = int(g["shard"].iloc[0])
         start = np.concatenate([[0], np.cumsum(n)[:-1]])
         s_first = start // L
         s_last = (start + n - 1) // L

@@ -962,3 +962,37 @@ def test_pack_sequences_subtoken_counter(ray_session):
     for i, x in enumerate(texts):
         assert per_doc.get(i, 0) == subtoken_count(x) or (
             subtoken_count(x) == 0 and i not in per_doc)
+
+
+def test_round5_ops_fanout_extremes(ray_session):
+    """Fan-out is a tuning knob, never a semantics knob: line_dedup and
+    pack_sequences produce identical results at tiny and huge bucket /
+    salt fan-outs."""
+    from kb_ner_ray.stages.dedup import line_dedup
+    from kb_ner_ray.stages.packing import pack_training_sequences
+
+    texts = [f"shared line\nuniq {i}\nshared line" for i in range(30)] + \
+        ["", "solo"]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(docs).repartition(3)
+
+    def norm(df):
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    a = norm(line_dedup(ds, n_buckets=2, n_salts=1).to_pandas())
+    b = norm(line_dedup(ds, n_buckets=512, n_salts=64).to_pandas())
+    assert a.equals(b)
+    assert a.loc[0, "text"] == "shared line\nuniq 0"  # within-doc dup too
+
+    cols = ["shard", "seq_id", "doc_id", "doc_offset", "seq_offset",
+            "n_tokens"]
+    p1 = (pack_training_sequences(ds, seq_len=5, n_shards=1)
+          .to_pandas()[cols])
+    p64 = (pack_training_sequences(ds, seq_len=5, n_shards=64)
+           .to_pandas()[cols])
+    # different shard layouts, same conserved token volume per doc
+    assert (p1.groupby("doc_id")["n_tokens"].sum().to_dict()
+            == p64.groupby("doc_id")["n_tokens"].sum().to_dict())
