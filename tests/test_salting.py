@@ -179,3 +179,46 @@ def test_line_dedup_salted_hot_line(ray_session, hot_sf_dir):
 
     with pytest.raises(Exception, match="salting failed to spread"):
         line_dedup(ds, row_cap=CAP, n_salts=1).materialize()
+
+
+def test_line_dedup_randomized_brute_force_parity(ray_session):
+    """Randomized corpora (dup-heavy line pool, empty/whitespace lines,
+    within-doc repeats, empty docs) against a straight-line reference."""
+    rng = np.random.default_rng(17)
+    pool = [f"line {i}" for i in range(12)] + ["", "   ", "\t"]
+    texts = []
+    for _ in range(40):
+        k = int(rng.integers(0, 6))
+        texts.append("\n".join(rng.choice(pool, size=k)) if k else "")
+
+    def brute(texts):
+        seen = set()
+        out = []
+        for did, tx in enumerate(texts):
+            kept, n_nz, rem = [], 0, 0
+            for ln in tx.split("\n"):
+                ln = ln.strip()
+                if not ln:
+                    continue
+                n_nz += 1
+                if ln in seen:
+                    rem += 1
+                else:
+                    seen.add(ln)
+                    kept.append(ln)
+            out.append((did, "\n".join(kept), n_nz, rem))
+        return out
+
+    from kb_ner_ray.stages.dedup import line_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = (line_dedup(ray.data.from_arrow(docs).repartition(5),
+                      n_buckets=16, n_salts=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = brute(texts)
+    assert list(map(tuple, got[["doc_id", "text", "n_lines",
+                                "n_lines_removed"]]
+                    .itertuples(index=False))) == want
