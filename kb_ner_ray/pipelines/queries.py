@@ -2960,6 +2960,69 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def q_pricing_correlation(sf_dir: str):
+    """Grouped Pearson correlation with INTEGER-EXACT sufficient
+    statistics: corr(l_quantity, floor(l_extendedprice)) per returnflag
+    (whole-dollar y keeps every sum-of-squares inside int64 at any
+    scale — corr is scale-invariant, so the metric is unchanged).
+    Per-batch (n, Sx, Sy, Sxy, Sxx, Syy) partials, bounded-key
+    combiner; the ONLY float op is the final formula, written as the
+    identical double expression in the oracle.  Quantized to bp."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pylist(),
+            "n": np.ones(len(t), np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y,
+        }).groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = _tree_agg(ds, ["l_returnflag"], partial,
+                    {"n": "sum", "sx": "sum", "sy": "sum", "sxy": "sum",
+                     "sxx": "sum", "syy": "sum"})
+    n = agg["n"].to_numpy(np.float64)
+    sx = agg["sx"].to_numpy(np.float64)
+    sy = agg["sy"].to_numpy(np.float64)
+    num = n * agg["sxy"].to_numpy(np.float64) - sx * sy
+    den = np.sqrt((n * agg["sxx"].to_numpy(np.float64) - sx * sx)
+                  * (n * agg["syy"].to_numpy(np.float64) - sy * sy))
+    corr = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+    return pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "corr_bp": np.floor(corr * 10_000 + 0.5).astype(np.int64),
+        "n": agg["n"].to_numpy(np.int64),
+    })
+
+
+SQL_PRICING_CORRELATION = """
+WITH v AS (SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM v GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(FLOOR(CASE WHEN (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(n AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))
+            ELSE 0 END * 10000 + 0.5) AS BIGINT) AS corr_bp,
+       CAST(n AS BIGINT) AS n
+FROM s
+"""
+
+
 def q_customer_activity_left(sf_dir: str):
     """LEFT OUTER equi-join — the join-matrix completion (inner / semi /
     anti / as-of / range already covered): customers joined to per-user
@@ -3886,7 +3949,7 @@ def queries_registry():
         "corpus_export": q_corpus_export,
         "dedup_exact": q_dedup_exact,
         "source_reputation_filter": q_source_reputation_filter,
-        "embed_near_dup": q_embed_near_dup,
+        "pricing_correlation": q_pricing_correlation,
         "temperature_sample": q_temperature_sample,
         "doc_token_entropy": q_doc_token_entropy,
         "bm25_search": q_bm25_search,
@@ -3954,6 +4017,7 @@ def queries_registry():
         "doc_fingerprints": q_doc_fingerprints,
         "doc_word_repetition": q_doc_word_repetition,
         "doc_quality": q_doc_quality,
+        "embed_near_dup": q_embed_near_dup,
         "events_topn_per_type": q_events_topn_per_type,
         "knn_bruteforce": q_knn_bruteforce,
         "events_hopping": q_events_hopping,
@@ -3999,6 +4063,7 @@ def oracle_registry():
         "events_winsorized_stats": SQL_EVENTS_WINSORIZED,
         "doc_token_entropy": SQL_DOC_TOKEN_ENTROPY,
         "source_reputation_filter": SQL_SOURCE_REPUTATION,
+        "pricing_correlation": SQL_PRICING_CORRELATION,
         "events_rolling_count": SQL_ROLLING,
         "events_lead_lag": SQL_LEAD_LAG,
         "events_running_value": SQL_RUNNING_VALUE,

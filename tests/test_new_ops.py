@@ -574,7 +574,9 @@ def test_registry_window_carries_full_signal():
                    # displaced by round-5-new doc_token_entropy
                    "events_topn_per_type",
                    # displaced by round-5-new source_reputation_filter
-                   "knn_bruteforce"}
+                   "knn_bruteforce",
+                   # displaced by round-5-new pricing_correlation
+                   "embed_near_dup"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -594,7 +596,8 @@ def test_registry_window_carries_full_signal():
                          "pack_sequences", "pricing_cube",
                          "doc_contamination_frac", "corpus_export",
                          "events_winsorized_stats", "doc_token_entropy",
-                         "source_reputation_filter"}
+                         "source_reputation_filter",
+                         "pricing_correlation"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
