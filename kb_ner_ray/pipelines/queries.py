@@ -3887,6 +3887,57 @@ def q_multimodal_video_frames(sf_dir: str):
         rd.from_arrow(make_fake_videos(n)), k=4, allow_fake=True)
 
 
+# ---------- round-5 second batch: PII scrub / SemDeDup / DSIR / funnel /
+# ---------- incremental dedup / dup-graph triangles ---------------------------
+
+
+def q_doc_pii_redact(sf_dir: str):
+    """PII scrub (stages/textstats.pii_redact): count + redact emails /
+    phones / IPv4s with vectorized RE2 kernels — stateless map, zero
+    shuffles.  The driver corpus contains no PII, so a deterministic
+    doc_id-derived injection pass (same expression in the SQL oracle)
+    gives the scrubber real work; the oracle hash covers the full
+    redacted strings, pinning both engines' RE2 semantics end-to-end."""
+    from ..stages.textstats import inject_synthetic_pii, pii_redact
+
+    return (_read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(inject_synthetic_pii, batch_format="pyarrow")
+            .map_batches(pii_redact, batch_format="pyarrow"))
+
+
+SQL_PII_REDACT = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN ' (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 2
+                 THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id // 7 % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         AS n_emails,
+       len(regexp_extract_all(t, '\(?\d{3}\)?[ .-]?\d{3,4}[ .-]?\d{4}\b'))
+         AS n_phones,
+       len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\(?\d{3}\)?[ .-]?\d{3,4}[ .-]?\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM inj
+"""
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -3974,6 +4025,7 @@ def queries_registry():
         "kg_ensemble_multirun": q_kg_ensemble_multirun,  # rows-only;
         # pinned == fused kg_ensemble by test_ensemble_runs
         # -- past the 50-entry window --------------------------------------
+        "doc_pii_redact": q_doc_pii_redact,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4116,6 +4168,7 @@ def oracle_registry():
         "doc_unigram_ppl": SQL_UNIGRAM_PPL,
         "token_postings": SQL_TOKEN_POSTINGS,
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
+        "doc_pii_redact": SQL_PII_REDACT,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

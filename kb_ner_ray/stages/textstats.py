@@ -743,3 +743,67 @@ def doc_token_entropy(batch: pa.Table) -> pa.Table:
         "entropy_bp": pa.array(
             np.floor(ent * 10_000 + 0.5).astype(np.int64)),
     })
+
+# ---------- PII scrubbing ------------------------------------------------------
+
+# RE2 patterns, evaluated by BOTH engines' RE2 bindings (pyarrow.compute
+# string kernels and DuckDB regexp_*) — parity verified by the exact
+# doc_pii_redact oracle.  Kept intentionally conservative (the C4 / Dolma
+# scrub set): emails, North-American phone shapes, dotted-quad IPs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\(?\d{3}\)?[ .-]?\d{3,4}[ .-]?\d{4}\b"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def inject_synthetic_pii(batch: pa.Table) -> pa.Table:
+    """Deterministically append synthetic PII tokens derived from doc_id
+    (email for doc_id%3==0, phone for %4==1, dotted-quad IP for %5==2) so
+    the scrub pass does real work on the driver's PII-free synthetic
+    corpus — same move as doc_line_dedup's fixed-window "lines".  The
+    derivation is part of the query on BOTH sides (see SQL_PII_REDACT),
+    so the oracle hash still pins the scrubber end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    ids = batch.column("doc_id").to_numpy()
+
+    def s(a) -> pd.Series:
+        return pd.Series(a.astype(str), dtype=object)
+
+    email = (" user" + s(ids) + "@example.org").where(ids % 3 == 0, "")
+    phone = (" (555) " + s(ids % 1000).str.zfill(3) + "-"
+             + s(ids * 7 % 10000).str.zfill(4)).where(ids % 4 == 1, "")
+    ip = (" 10." + s(ids % 256) + "." + s(ids // 7 % 256) + "."
+          + s(ids % 254 + 1)).where(ids % 5 == 2, "")
+    txt = pd.Series(batch.column("text").to_pandas()) + email + phone + ip
+    return batch.set_column(batch.schema.get_field_index("text"), "text",
+                            pa.array(txt, pa.string()))
+
+
+def pii_redact(batch: pa.Table) -> pa.Table:
+    """Count + redact PII spans (emails -> <EMAIL>, IPs -> <IP>, phones ->
+    <PHONE>) with vectorized RE2 kernels — stateless map, zero shuffles,
+    the whole corpus streams through untouched except the matched spans.
+    Counts are taken on the pre-redaction text; replacement order
+    email -> IP -> phone is fixed (and order-insensitive for these
+    patterns: no replacement token contains digits or '@').  Ref seat:
+    the reference scrubs raw web text before KB indexing
+    (kb/parse_text.py) — this is the privacy-scrub analogue every
+    Common-Crawl training pipeline runs (C4, Dolma, RefinedWeb)."""
+    t = batch.column("text")
+    n_emails = pc.count_substring_regex(t, pattern=PII_EMAIL_RE)
+    n_phones = pc.count_substring_regex(t, pattern=PII_PHONE_RE)
+    n_ips = pc.count_substring_regex(t, pattern=PII_IPV4_RE)
+    red = pc.replace_substring_regex(t, pattern=PII_EMAIL_RE,
+                                     replacement="<EMAIL>")
+    red = pc.replace_substring_regex(red, pattern=PII_IPV4_RE,
+                                     replacement="<IP>")
+    red = pc.replace_substring_regex(red, pattern=PII_PHONE_RE,
+                                     replacement="<PHONE>")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_emails": pc.cast(n_emails, pa.int64()),
+        "n_phones": pc.cast(n_phones, pa.int64()),
+        "n_ips": pc.cast(n_ips, pa.int64()),
+        "redacted": red,
+    })

@@ -999,3 +999,33 @@ def test_round5_ops_fanout_extremes(ray_session):
     # different shard layouts, same conserved token volume per doc
     assert (p1.groupby("doc_id")["n_tokens"].sum().to_dict()
             == p64.groupby("doc_id")["n_tokens"].sum().to_dict())
+
+
+def test_pii_redact_patterns():
+    """PII scrub: counts and replacement tokens on hand-built texts; the
+    injected synthetic PII is derived from doc_id on both engines."""
+    from kb_ner_ray.stages.textstats import inject_synthetic_pii, pii_redact
+
+    t = pa.table({
+        "doc_id": pa.array([100, 200], pa.int64()),
+        "text": pa.array([
+            "write bob.smith+x@ex-ample.co.uk or ping 10.0.255.1 ok",
+            "call (555) 014-2233 and 555-014-2233; host 192.168.1.255",
+        ]),
+    })
+    out = pii_redact(t).to_pandas()
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_ips"] == 1
+    assert out.loc[1, "n_phones"] == 2 and out.loc[1, "n_ips"] == 1
+    assert "<EMAIL>" in out.loc[0, "redacted"]
+    assert "@" not in out.loc[0, "redacted"]
+    assert out.loc[1, "redacted"].count("<PHONE>") == 2
+    assert "<IP>" in out.loc[1, "redacted"]
+
+    # injection is deterministic in doc_id: 100%3!=0 -> no email;
+    # 200%4==0 -> no phone; 200%5==0 -> no ip; 100%5==0 -> no ip
+    inj = inject_synthetic_pii(pa.table({
+        "doc_id": pa.array([99, 100], pa.int64()),
+        "text": pa.array(["alpha", "beta"]),
+    })).column("text").to_pylist()
+    assert inj[0] == "alpha user99@example.org"  # 99%3==0, %4=3, %5=4
+    assert inj[1] == "beta"  # 100 hits none of the three residue classes
