@@ -3938,6 +3938,55 @@ FROM inj
 """
 
 
+SEMDEDUP_SEEDS = 8
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (stages/similarity.semdedup; Abbas et al. 2023): coarse
+    cluster assignment against broadcast seeds, cluster-LOCAL triangle
+    pairwise verify (hot-cluster skew spreads over S*(S+1)/2 cells), one
+    hash(vec_id) marker shuffle for keep resolution.  Seeds are the
+    first-k vec_ids so the DuckDB oracle reproduces the assignment;
+    at deployment scale they come from train_ivf_centroids."""
+    from ..stages.similarity import load_queries, semdedup
+
+    seeds = load_queries(f"{sf_dir}/embeddings.parquet", SEMDEDUP_SEEDS)
+    return semdedup(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        seeds, threshold=NEAR_DUP_COSINE)
+
+
+SQL_SEMDEDUP = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS se
+  FROM embeddings WHERE vec_id < {SEMDEDUP_SEEDS}),
+sim AS (
+  SELECT e.vec_id, s.sid,
+         CAST(FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           s.se) * 10000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings e, seeds s),
+assign AS (
+  SELECT vec_id, sid AS cluster FROM (
+    SELECT vec_id, sid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY q DESC, sid) AS rn
+    FROM sim) WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[]))
+        >= {NEAR_DUP_COSINE})
+SELECT a.vec_id, a.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assign a LEFT JOIN dups d USING (vec_id)
+"""
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -4026,6 +4075,7 @@ def queries_registry():
         # pinned == fused kg_ensemble by test_ensemble_runs
         # -- past the 50-entry window --------------------------------------
         "doc_pii_redact": q_doc_pii_redact,
+        "semdedup": q_semdedup,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4169,6 +4219,7 @@ def oracle_registry():
         "token_postings": SQL_TOKEN_POSTINGS,
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "doc_pii_redact": SQL_PII_REDACT,
+        "semdedup": SQL_SEMDEDUP,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -541,3 +541,133 @@ def embed_outliers(emb_ds, *, label_col: str = "label",
         })
 
     return emb_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---- SemDeDup (semantic dedup inside coarse clusters) -----------------------
+
+
+def _semdedup_rows(batch: pa.Table, seeds_ref=None, S: int = 2) -> pa.Table:
+    """Assign each vector to its nearest seed (argmax quantized cosine,
+    lowest seed id on ties — the SQL `ORDER BY q DESC, sid` contract),
+    then explode it into the CLUSTER-LOCAL triangle cells so the
+    intra-cluster pairwise verify distributes even when one cluster holds
+    most of the corpus (hot-cluster skew — same engine as
+    cosine_pairs_blocked, cell key extended to cluster * S^2 + i*S + j)."""
+    def build(q):
+        qids, qmat = q
+        order = np.argsort(np.asarray(qids, dtype=np.int64))
+        return (np.asarray(qids, dtype=np.int64)[order],
+                _normalize(qmat)[order])
+
+    sids, seeds = _cached_state(seeds_ref, build)
+    vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    m = _normalize(_matrix(batch.column("embedding")))
+    q = np.floor((m @ seeds.T) * 10_000 + 0.5).astype(np.int64)
+    cl = sids[np.argmax(q, axis=1)]  # first max == lowest sid on ties
+    parts = ((vids * 2654435761) % (1 << 32) % S).astype(np.int32)
+    cells, gis, gjs, pouts, ids, cls, embs = [], [], [], [], [], [], []
+    for r in range(len(vids)):
+        p = int(parts[r])
+        eb = m[r].tobytes()
+        for i in range(S):
+            for j in range(i, S):
+                if p != i and p != j:
+                    continue
+                cells.append(int(cl[r]) * S * S + i * S + j)
+                gis.append(i)
+                gjs.append(j)
+                pouts.append(p)
+                ids.append(int(vids[r]))
+                cls.append(int(cl[r]))
+                embs.append(eb)
+    return pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "gi": pa.array(gis, pa.int32()),
+        "gj": pa.array(gjs, pa.int32()),
+        "part": pa.array(pouts, pa.int32()),
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(cls, pa.int64()),
+        "emb": pa.array(embs, pa.binary()),
+    })
+
+
+def semdedup(emb_ds, seeds, threshold: float, S: int | None = None,
+             n_buckets: int | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embedding space, then drop every vector that has a strictly-lower-id
+    neighbor above ``threshold`` cosine INSIDE its cluster.  Returns a
+    Dataset of (vec_id, cluster, keep).
+
+    Plan (three fixed-width exchanges, nothing broadcast but the seeds):
+      1. assignment pass — seeds broadcast once via ray.put, per-batch
+         argmax matmul; emits (vec_id, cluster, dup=0) marker rows;
+      2. intra-cluster pair verify — cluster-local triangle explode
+         (S rows/vector) -> groupby(cell) matmul; emits (vec_id, cluster,
+         dup=1) for every pair loser; a giant cluster spreads over
+         S*(S+1)/2 cells instead of serializing one reducer;
+      3. keep resolution — ONE hash(vec_id) bucket shuffle over the
+         3-int marker rows; keep = no dup marker for the id.
+
+    At real scale the seed set comes from train_ivf_centroids (sampled
+    k-means); the driver-table query seeds on vec_id order so the DuckDB
+    oracle can reproduce the assignment exactly.  The pairwise verify is
+    cluster-bounded — SemDeDup's core trick: O(sum_c n_c^2), not O(n^2)."""
+    from .partitioning import bucket_multi, default_buckets
+
+    S = S or max(2, int(np.ceil(np.sqrt(2 * default_buckets()))))
+    nb = n_buckets or default_buckets()
+    seeds_ref = ray.put(seeds)
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        def build(qq):
+            qids, qmat = qq
+            order = np.argsort(np.asarray(qids, dtype=np.int64))
+            return (np.asarray(qids, dtype=np.int64)[order],
+                    _normalize(qmat)[order])
+
+        sids, sm = _cached_state(seeds_ref, build)
+        m = _normalize(_matrix(t.column("embedding")))
+        q = np.floor((m @ sm.T) * 10_000 + 0.5).astype(np.int64)
+        cl = sids[np.argmax(q, axis=1)]
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": pa.array(cl, pa.int64()),
+            "dup": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = _cosine_pairs_in_cell(group, threshold)
+        if not len(pairs):
+            return pd.DataFrame({"vec_id": np.array([], np.int64),
+                                 "cluster": np.array([], np.int64),
+                                 "dup": np.array([], np.int8)})
+        cl = int(group["cluster"].iloc[0])
+        b = np.unique(pairs["vec_b"].to_numpy(np.int64))
+        return pd.DataFrame({"vec_id": b,
+                             "cluster": np.full(len(b), cl, np.int64),
+                             "dup": np.ones(len(b), np.int8)})
+
+    dups = (emb_ds.map_batches(_semdedup_rows,
+                               fn_kwargs={"seeds_ref": seeds_ref, "S": S},
+                               batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(cell_pairs, batch_format="pandas"))
+    markers = emb_ds.map_batches(assign_rows, batch_format="pyarrow") \
+        .union(dups)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = bucket_multi([t["vec_id"]], nb)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("vec_id", as_index=False).agg(
+            cluster=("cluster", "max"), ndup=("dup", "sum"))
+        return pa.table({
+            "vec_id": pa.array(agg["vec_id"].to_numpy(np.int64)),
+            "cluster": pa.array(agg["cluster"].to_numpy(np.int64)),
+            "keep": pa.array((agg["ndup"].to_numpy() == 0)
+                             .astype(np.int64)),
+        })
+
+    return (markers.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(resolve, batch_format="pandas"))

@@ -1029,3 +1029,37 @@ def test_pii_redact_patterns():
     })).column("text").to_pylist()
     assert inj[0] == "alpha user99@example.org"  # 99%3==0, %4=3, %5=4
     assert inj[1] == "beta"  # 100 hits none of the three residue classes
+
+
+def test_semdedup_planted_and_fanout(ray_session):
+    """SemDeDup: a planted same-cluster near-duplicate is dropped (higher
+    id loses), a lone-cluster vector survives, and S / bucket fan-outs
+    are tuning knobs only."""
+    import numpy as np
+
+    from kb_ner_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(40, dim))
+    base[5] = base[3] + rng.normal(scale=1e-3, size=dim)  # near-dup of 3
+    seeds = ([0, 1, 2, 3], np.asarray(base[:4], dtype=np.float64))
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    def run(**kw):
+        return (semdedup(ds, seeds, threshold=0.95, **kw).to_pandas()
+                .sort_values("vec_id").reset_index(drop=True))
+
+    out = run(S=2, n_buckets=2)
+    assert len(out) == 40
+    assert out.loc[3, "keep"] == 1 and out.loc[5, "keep"] == 0
+    assert out.loc[3, "cluster"] == out.loc[5, "cluster"]
+    # seed vectors are their own clusters' anchors (sim 1.0 to self)
+    assert (out.loc[:3, "cluster"].to_numpy() == np.arange(4)).all()
+    big = run(S=5, n_buckets=64)
+    assert out.equals(big)
