@@ -3987,6 +3987,50 @@ FROM assign a LEFT JOIN dups d USING (vec_id)
 """
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (stages/dsir.dsir_weights; Xie et al.
+    2023): hashed-bigram LM log-ratio of target-language docs over the
+    raw pool — two streaming passes, zero shuffles, the driver combine
+    bounded by the FIXED 4096-bucket hash space.  md5 bucket ids so the
+    DuckDB oracle reproduces the hashing exactly."""
+    from ..stages.dsir import dsir_weights
+
+    return dsir_weights(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM toks WHERE len(w) >= 2),
+h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS b
+  FROM grams),
+cnt AS (
+  SELECT b, count(*) AS src_c,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+  FROM h GROUP BY b),
+tot AS (SELECT sum(src_c) AS s, sum(tgt_c) AS t FROM cnt),
+scored AS (
+  SELECT h.doc_id, count(*) AS n_bigrams,
+         sum(ln((c.tgt_c + 1.0) / (t.t + 4096.0))
+             - ln((c.src_c + 1.0) / (t.s + 4096.0))) AS w
+  FROM h JOIN cnt c USING (b) CROSS JOIN tot t
+  GROUP BY h.doc_id)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       CAST(FLOOR(COALESCE(s.w, 0) * 10000 + 0.5) AS BIGINT) AS dsir_bp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -4076,6 +4120,7 @@ def queries_registry():
         # -- past the 50-entry window --------------------------------------
         "doc_pii_redact": q_doc_pii_redact,
         "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4220,6 +4265,7 @@ def oracle_registry():
         # dropped from registry (plan-parity dup): "ngram_jaccard_salted": SQL_NGRAM_JACCARD,
         "doc_pii_redact": SQL_PII_REDACT,
         "semdedup": SQL_SEMDEDUP,
+        "dsir_weights": SQL_DSIR_WEIGHTS,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -1063,3 +1063,26 @@ def test_semdedup_planted_and_fanout(ray_session):
     assert (out.loc[:3, "cluster"].to_numpy() == np.arange(4)).all()
     big = run(S=5, n_buckets=64)
     assert out.equals(big)
+
+
+def test_dsir_weights_orders_target_like_docs(ray_session):
+    """DSIR: a doc built from target-language bigrams outscores a doc of
+    pool-only bigrams; <2-token docs emit n_bigrams=0, dsir_bp=0."""
+    from kb_ner_ray.stages.dsir import dsir_weights
+
+    en = "good clean wiki prose " * 10
+    xx = "zz1 zz2 zz3 zz4 " * 10
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([en, en, xx, xx, en, "solo"]),
+        "lang": pa.array(["en", "en", "xx", "xx", "xx", "xx"]),
+    })
+    out = (dsir_weights(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 4 repeats the target's bigrams, doc 3 the pool-only ones
+    assert out.loc[4, "dsir_bp"] > out.loc[3, "dsir_bp"]
+    assert out.loc[5, "n_bigrams"] == 0 and out.loc[5, "dsir_bp"] == 0
+    # absolute sign is smoothing-dominated at toy scale; ORDER is the
+    # contract: target-like docs above pool-only docs
+    assert (out.loc[[0, 1], "dsir_bp"].min()
+            > out.loc[[2, 3], "dsir_bp"].max())
