@@ -3938,6 +3938,84 @@ FROM inj
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    reaches stage k at the earliest event of type k at-or-after their
+    stage-(k-1) time.  Columns pruned and rows pre-filtered to the three
+    funnel types AT THE READ; ONE coarse user-hash bucket shuffle (all of
+    a user's rows funnel together, dispatch O(buckets) like
+    events_sessionize); per-bucket output is 3 rows, so the driver
+    combine is stage-bounded.  Durations sum as INTEGER microseconds —
+    no float crosses the hash."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    mask = _pow2_buckets() - 1
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(FUNNEL_STAGES)))
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
+        return t.append_column("bucket", b)
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        usec = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                          "ty": g["event_type"].to_numpy(object),
+                          "t": usec})
+        stage_t: list[pd.Series] = []
+        prev = None
+        for ty in FUNNEL_STAGES:
+            sub = g[g["ty"] == ty]
+            if prev is not None:
+                gate = sub["u"].map(prev)
+                sub = sub[gate.notna() & (sub["t"] >= gate)]
+            cur = sub.groupby("u")["t"].min()
+            stage_t.append(cur)
+            prev = cur
+        first = stage_t[0]
+        rows = []
+        for k, cur in enumerate(stage_t, start=1):
+            secs = (cur - first.reindex(cur.index)).sum()
+            rows.append((k, len(cur), int(secs)))
+        return pd.DataFrame(rows,
+                            columns=["stage", "n_users", "sum_usecs"])
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(funnel_bucket, batch_format="pandas")
+           .to_pandas())
+    out = pdf.groupby("stage", as_index=False)[["n_users", "sum_usecs"]] \
+        .sum()
+    return out.astype({"stage": np.int64, "n_users": np.int64,
+                       "sum_usecs": np.int64})
+
+
+SQL_EVENTS_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id)
+SELECT 1 AS stage, count(*) AS n_users, CAST(0 AS BIGINT) AS sum_usecs
+FROM v
+UNION ALL
+SELECT 2, count(*),
+       CAST(COALESCE(sum(epoch_us(c.t2) - epoch_us(v.t1)), 0) AS BIGINT)
+FROM c JOIN v USING (user_id)
+UNION ALL
+SELECT 3, count(*),
+       CAST(COALESCE(sum(epoch_us(p.t3) - epoch_us(v.t1)), 0) AS BIGINT)
+FROM p JOIN v USING (user_id)
+"""
+
+
 SEMDEDUP_SEEDS = 8
 
 
@@ -4121,6 +4199,7 @@ def queries_registry():
         "doc_pii_redact": q_doc_pii_redact,
         "semdedup": q_semdedup,
         "dsir_weights": q_dsir_weights,
+        "events_funnel": q_events_funnel,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4266,6 +4345,7 @@ def oracle_registry():
         "doc_pii_redact": SQL_PII_REDACT,
         "semdedup": SQL_SEMDEDUP,
         "dsir_weights": SQL_DSIR_WEIGHTS,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -1086,3 +1086,38 @@ def test_dsir_weights_orders_target_like_docs(ray_session):
     # contract: target-like docs above pool-only docs
     assert (out.loc[[0, 1], "dsir_bp"].min()
             > out.loc[[2, 3], "dsir_bp"].max())
+
+
+def test_events_funnel_ordering_semantics(ray_session):
+    """Funnel: a click BEFORE the first view does not convert; equal
+    timestamps do (>= gate); durations sum as integer microseconds."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: full ordered funnel, 10s then 20s after the view
+        (1, "view", t0), (1, "click", t0 + dt.timedelta(seconds=10)),
+        (1, "purchase", t0 + dt.timedelta(seconds=30)),
+        # user 2: click precedes its only view -> stops at stage 1
+        (2, "click", t0), (2, "view", t0 + dt.timedelta(seconds=5)),
+        # user 3: click at the SAME instant as the view -> converts
+        (3, "view", t0), (3, "click", t0),
+        # user 4: never views -> not even stage 1
+        (4, "purchase", t0),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="funnel_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_funnel(sf).set_index("stage")
+    assert out.loc[1, "n_users"] == 3
+    assert out.loc[2, "n_users"] == 2          # users 1 and 3
+    assert out.loc[3, "n_users"] == 1          # user 1
+    assert out.loc[2, "sum_usecs"] == 10_000_000
+    assert out.loc[3, "sum_usecs"] == 30_000_000
