@@ -3938,6 +3938,72 @@ FROM inj
 """
 
 
+def _max_doc_id(path: str) -> int:
+    """Max doc_id from parquet row-group STATISTICS — metadata-only, no
+    data scan (the snapshot cutoff must not cost a corpus pass)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.names.index("doc_id")
+    mx = None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or st.max is None:  # stats missing -> column scan
+            t = pq.read_table(path, columns=["doc_id"])
+            return int(pc.max(t["doc_id"]).as_py())
+        mx = st.max if mx is None else max(mx, st.max)
+    return int(mx)
+
+
+SNAPSHOT_PREFIX_TOKS = 2  # head-fingerprint length; the driver corpus has
+# no full-text duplicates, so the delta keys on a 2-token head signature
+# (same move as doc_line_dedup's fixed-window lines) — at sf0.01 that
+# yields 42 within-new collapses and 65 cross-snapshot drops
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Incremental snapshot dedup (stages/dedup.snapshot_delta_dedup):
+    the lower doc_id half plays the prior crawl snapshot, the upper half
+    the incoming dump; dedup keys on the head-token fingerprint.
+    Bloom-gated: definitely-new docs never shuffle; bloom positives go
+    through the exact bucketed anti join; within-new dups collapse in
+    salt buckets.  Cutoff comes from parquet metadata statistics, not a
+    scan."""
+    from ..stages.dedup import snapshot_delta_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+    cut = (_max_doc_id(path) + 1) // 2
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def head_fingerprint(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t["text"]))
+        head = pc.binary_join(
+            pc.list_slice(toks, 0, SNAPSHOT_PREFIX_TOKS), " ")
+        return pa.table({"doc_id": t["doc_id"], "text": head})
+
+    fp = ds.map_batches(head_fingerprint, batch_format="pyarrow")
+    old = fp.filter(expr=f"doc_id < {cut}")
+    new = fp.filter(expr=f"doc_id >= {cut}")
+    return snapshot_delta_dedup(old, new)
+
+
+SQL_SNAPSHOT_DELTA = f"""
+WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+d AS (SELECT doc_id,
+             md5(array_to_string(
+                 regexp_split_to_array(trim(text), '\\s+')
+                   [1:{SNAPSHOT_PREFIX_TOKS}], ' ')) AS h
+      FROM documents),
+olds AS (SELECT DISTINCT h FROM d, cut WHERE doc_id < c),
+news AS (SELECT doc_id, h FROM d, cut WHERE doc_id >= c),
+grp AS (SELECT h, min(doc_id) AS doc_id, count(*) AS n_dups
+        FROM news GROUP BY h)
+SELECT doc_id, h AS content_hash, n_dups FROM grp
+WHERE h NOT IN (SELECT h FROM olds)
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -4200,6 +4266,7 @@ def queries_registry():
         "semdedup": q_semdedup,
         "dsir_weights": q_dsir_weights,
         "events_funnel": q_events_funnel,
+        "snapshot_delta": q_snapshot_delta,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4346,6 +4413,7 @@ def oracle_registry():
         "semdedup": SQL_SEMDEDUP,
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "snapshot_delta": SQL_SNAPSHOT_DELTA,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -1311,3 +1311,70 @@ def line_dedup(docs_ds, n_buckets: int | None = None,
 
     return (winners.union(sentinels)
             .groupby("__k").map_groups(rebuild, batch_format="pandas"))
+
+
+def snapshot_delta_dedup(old_ds, new_ds, *, bloom_bits: int = 1 << 20,
+                         n_buckets: int | None = None):
+    """Incremental crawl-over-crawl dedup (the CCNet / Dolma "dedupe the
+    new dump against all prior dumps" seat): keep each NEW doc whose
+    content hash is absent from the prior snapshot, then collapse
+    within-new duplicates (min doc_id wins, multiplicity counted).
+
+    Plan — Bloom-gated so the cross-snapshot check shuffles only the
+    suspicious few percent of a mostly-fresh crawl:
+
+      1. distributed Bloom build over the OLD snapshot's content hashes
+         (per-batch fixed-size partials, OR-merged — joins._build_bloom);
+      2. pass A: new docs whose hash MISSES the bloom are definitely
+         absent from the snapshot (no false negatives) -> kept with NO
+         shuffle;
+      3. pass B: bloom POSITIVES (true hits + false positives) go
+         through the exact bucketed ANTI join against the old hash
+         stream (stages/joins.semi_join(anti=True) — sound because the
+         bloom only ROUTES rows here, it never drops);
+      4. survivors of A+B collapse per content hash inside salt buckets
+         (same engine as exact_dedup) for the within-new dedup.
+
+    Both passes over the new shard are stateless hash maps — no shuffle
+    re-executes.  Returns Dataset(doc_id, content_hash, n_dups).
+    Oracle parity: content_md5 == DuckDB md5(text)."""
+    import ray
+
+    from .joins import _build_bloom, semi_join
+    from .partitioning import BloomFilter, default_buckets
+    from .similarity import _cached_state
+
+    nb = n_buckets or default_buckets()
+
+    def hash_only(t: pa.Table) -> pa.Table:
+        h = content_md5(t.column("text").to_pylist())
+        return pa.table({"doc_id": t["doc_id"],
+                         "content_hash": pa.array(h, pa.string())})
+
+    old_hashes = old_ds.map_batches(hash_only, batch_format="pyarrow") \
+        .select_columns(["content_hash"])
+    bloom = _build_bloom(old_hashes, "content_hash", bloom_bits)
+    bref = ray.put(bloom.bits)
+
+    def split(t: pa.Table, want_hits: bool) -> pa.Table:
+        t = hash_only(t)
+        bf = BloomFilter(bloom_bits, _cached_state(bref, lambda b: b))
+        hit = bf.contains_many(t["content_hash"])
+        return t.filter(pa.array(hit if want_hits else ~hit))
+
+    misses = new_ds.map_batches(split, fn_kwargs={"want_hits": False},
+                                batch_format="pyarrow")
+    positives = new_ds.map_batches(split, fn_kwargs={"want_hits": True},
+                                   batch_format="pyarrow")
+    fresh = semi_join(positives, old_hashes, on="content_hash",
+                      n_buckets=nb, anti=True)
+    survivors = misses.union(fresh)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = [int(x[:4], 16) % nb
+                for x in t["content_hash"].to_pylist()]
+        return t.append_column("salt", pa.array(salt, pa.int32()))
+
+    return (survivors.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("salt")
+            .map_groups(collapse_bucket, batch_format="pandas"))

@@ -1121,3 +1121,29 @@ def test_events_funnel_ordering_semantics(ray_session):
     assert out.loc[3, "n_users"] == 1          # user 1
     assert out.loc[2, "sum_usecs"] == 10_000_000
     assert out.loc[3, "sum_usecs"] == 30_000_000
+
+
+def test_snapshot_delta_dedup_semantics(ray_session):
+    """Incremental dedup: old-snapshot hits drop, fresh docs keep with
+    within-new multiplicity, min doc_id wins; bloom fan-out is a knob."""
+    from kb_ner_ray.stages.dedup import snapshot_delta_dedup
+
+    old = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["seen before", "ancient prose"]),
+    }))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(["seen before",      # in snapshot -> drop
+                          "fresh one",        # new, unique
+                          "fresh two",        # new, dup'd below
+                          "fresh two"]),
+    })).repartition(2)
+    out = (snapshot_delta_dedup(old, new, bloom_bits=1 << 12, n_buckets=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [11, 12]
+    assert out.set_index("doc_id").loc[12, "n_dups"] == 2
+    # tiny bloom (high FP rate) must not change the answer
+    tiny = (snapshot_delta_dedup(old, new, bloom_bits=64, n_buckets=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert tiny.equals(out)
