@@ -3938,6 +3938,49 @@ FROM inj
 """
 
 
+def q_dup_graph_triangles(sf_dir: str):
+    """Per-node triangle counts over the exact-oracled charset-Jaccard
+    near-dup graph (stages/components.triangle_counts, Suri &
+    Vassilvitskii 2011 degree-ordered node-iterator): the dup-cluster
+    DENSITY signal that tells 'one giant chain' apart from 'tight clique'
+    before dedup-apply.  Hub nodes never own their wedges — the
+    degree orientation bounds every reducer at O(sqrt(m)) out-degree."""
+    from ..stages.components import triangle_counts
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD)
+    df = triangle_counts(pairs).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_triangles": pd.Series([], dtype=np.int64)})
+    return (df.astype(np.int64).sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+SQL_DUP_GRAPH_TRIANGLES = """
+WITH d AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.n_tokens = b.n_tokens AND a.doc_id < b.doc_id
+  WHERE jaccard(a.text, b.text) >= {thr}),
+tri AS (
+  SELECT p1.a, p1.b, p2.b AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.a = p1.b
+  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+nodes AS (
+  SELECT a AS n FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT n AS doc_id, count(*) AS n_triangles FROM nodes GROUP BY n
+"""
+
+
 def _max_doc_id(path: str) -> int:
     """Max doc_id from parquet row-group STATISTICS — metadata-only, no
     data scan (the snapshot cutoff must not cost a corpus pass)."""
@@ -4267,6 +4310,7 @@ def queries_registry():
         "dsir_weights": q_dsir_weights,
         "events_funnel": q_events_funnel,
         "snapshot_delta": q_snapshot_delta,
+        "dup_graph_triangles": q_dup_graph_triangles,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4414,6 +4458,7 @@ def oracle_registry():
         "dsir_weights": SQL_DSIR_WEIGHTS,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "snapshot_delta": SQL_SNAPSHOT_DELTA,
+        "dup_graph_triangles": SQL_DUP_GRAPH_TRIANGLES.format(thr=JACCARD_THRESHOLD),
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -502,3 +502,181 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     return ranks.map_batches(
         lambda t: pa.table({"node": t["node"], "rank": t["rank"]}),
         batch_format="pyarrow")
+
+
+# ---- triangle counting (near-dup graph density) ------------------------------
+
+
+def triangle_counts(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+                    n_buckets: int | None = None):
+    """Per-node triangle counts over an undirected simple edge list —
+    the degree-ordered node-iterator (Suri & Vassilvitskii 2011,
+    "Counting triangles and the curse of the last reducer"): orient
+    every edge from lower to higher (degree, node) rank, enumerate
+    wedges only at each edge's LOW-rank endpoint (out-degree is
+    O(sqrt(m))-bounded under this orientation — the hub node that would
+    serialize a naive node-iterator never owns its wedges), and close
+    wedges against the oriented edge set in hash(x, y) buckets.
+
+    Exchanges: one degree aggregation, two bucketed rank joins, one
+    wedge/edge co-shuffle, one per-node count shuffle — every stage
+    fixed-width (ints only).  Returns Dataset(doc_id, n_triangles) for
+    nodes in >= 1 triangle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .partitioning import bucket_multi, default_buckets
+
+    nb = n_buckets or default_buckets()
+    edges = pairs_ds.select_columns([a_col, b_col]).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64())}))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t[a_col].to_numpy(), t[b_col].to_numpy()])
+        u, c = np.unique(n, return_counts=True)
+        out = pa.table({"node": pa.array(u.astype(np.int64)),
+                        "c": pa.array(c.astype(np.int64))})
+        return out.append_column(
+            "__b", pa.array(bucket_multi([out["node"]], nb), pa.int32()))
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["c"].sum()
+        return out.rename(columns={"c": "deg"})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("__b").map_groups(deg_final, batch_format="pandas"))
+
+    # rank join: edge rows + degree rows co-bucketed on the endpoint.
+    # Both union sides carry the SAME null-widened int64 column set
+    # (edge_cols + __deg), and the in-bucket merge restores int64.
+    def _rank_join(edge_ds, edge_cols: list, key: str, out_name: str):
+        def tag_edge(t: pa.Table) -> pa.Table:
+            arrays = [t[c] for c in edge_cols]
+            arrays.append(pa.nulls(t.num_rows, pa.int64()))
+            out = pa.Table.from_arrays(arrays, names=edge_cols + ["__deg"])
+            return out.append_column(
+                "__b", pa.array(bucket_multi([t[key]], nb), pa.int32()))
+
+        def tag_deg(t: pa.Table) -> pa.Table:
+            arrays = [t["node"] if c == key else pa.nulls(t.num_rows,
+                                                          pa.int64())
+                      for c in edge_cols]
+            arrays.append(t["deg"])
+            out = pa.Table.from_arrays(arrays, names=edge_cols + ["__deg"])
+            return out.append_column(
+                "__b", pa.array(bucket_multi([t["node"]], nb), pa.int32()))
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            dsub = (g[g["__deg"].notna()][[key, "__deg"]]
+                    .drop_duplicates(key))
+            esub = g[g["__deg"].isna()][edge_cols]
+            out = esub.merge(dsub, on=key, how="left")
+            out = out.rename(columns={"__deg": out_name})
+            for c in edge_cols + [out_name]:
+                out[c] = out[c].astype(np.int64)
+            return out
+
+        tagged = (edge_ds.map_batches(tag_edge, batch_format="pyarrow")
+                  .union(deg.map_batches(tag_deg, batch_format="pyarrow")))
+        return tagged.groupby("__b").map_groups(join,
+                                                batch_format="pandas")
+
+    with_da = _rank_join(edges, [a_col, b_col], a_col, "deg_a")
+    oriented_in = _rank_join(with_da, [a_col, b_col, "deg_a"], b_col,
+                             "deg_b")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy().astype(np.int64)
+        b = t[b_col].to_numpy().astype(np.int64)
+        da = t["deg_a"].to_numpy().astype(np.int64)
+        db = t["deg_b"].to_numpy().astype(np.int64)
+        a_low = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_low, a, b)
+        v = np.where(a_low, b, a)
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    oriented = oriented_in.map_batches(orient, batch_format="pyarrow") \
+        .materialize()
+
+    # wedge generation at the low-rank endpoint, keyed by the closing
+    # (x, y) pair; edge rows ride the same shuffle (wedge_u = -1 marker)
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        xs, ys, us = [], [], []
+        for u, grp in g.groupby("u", sort=False):
+            nbr = np.unique(grp["v"].to_numpy(np.int64))
+            if len(nbr) < 2:
+                continue
+            i, j = np.triu_indices(len(nbr), k=1)
+            xs.append(nbr[i])
+            ys.append(nbr[j])
+            us.append(np.full(len(i), u, np.int64))
+        if not xs:
+            return pd.DataFrame({"x": np.array([], np.int64),
+                                 "y": np.array([], np.int64),
+                                 "wu": np.array([], np.int64)})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys),
+                             "wu": np.concatenate(us)})
+
+    def bucket_u(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(bucket_multi([t["u"]], nb), pa.int32()))
+
+    wedges = (oriented.map_batches(bucket_u, batch_format="pyarrow")
+              .groupby("__b").map_groups(wedge_rows,
+                                         batch_format="pandas"))
+
+    # the closing edge (x, y) is oriented min-rank -> max-rank like every
+    # edge, but rank order is unknown here, so key the shuffle on the
+    # UNORDERED pair and match either orientation in-bucket
+    def tag_pair(t: pa.Table, is_edge: bool) -> pa.Table:
+        if is_edge:
+            x, y = t["u"].to_numpy(), t["v"].to_numpy()
+            wu = np.full(len(x), -1, np.int64)
+        else:
+            x, y = t["x"].to_numpy(), t["y"].to_numpy()
+            wu = t["wu"].to_numpy().astype(np.int64)
+        lo = np.minimum(x, y).astype(np.int64)
+        hi = np.maximum(x, y).astype(np.int64)
+        out = pa.table({"x": pa.array(lo), "y": pa.array(hi),
+                        "wu": pa.array(wu)})
+        return out.append_column(
+            "__b", pa.array(bucket_multi([out["x"], out["y"]], nb),
+                            pa.int32()))
+
+    paired = (wedges.map_batches(tag_pair, fn_kwargs={"is_edge": False},
+                                 batch_format="pyarrow")
+              .union(oriented.map_batches(tag_pair,
+                                          fn_kwargs={"is_edge": True},
+                                          batch_format="pyarrow")))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["wu"] < 0][["x", "y"]].drop_duplicates()
+        w = g[g["wu"] >= 0]
+        tri = w.merge(e, on=["x", "y"], how="inner")
+        if not len(tri):
+            return pd.DataFrame({"node": np.array([], np.int64),
+                                 "c": np.array([], np.int64)})
+        nodes = np.concatenate([tri["x"].to_numpy(np.int64),
+                                tri["y"].to_numpy(np.int64),
+                                tri["wu"].to_numpy(np.int64)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "c": c.astype(np.int64)})
+
+    closed = paired.groupby("__b").map_groups(close,
+                                              batch_format="pandas")
+
+    def cnt_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(bucket_multi([t["node"]], nb), pa.int32()))
+
+    def cnt_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["c"].sum()
+        return pd.DataFrame({"doc_id": out["node"].to_numpy(np.int64),
+                             "n_triangles": out["c"].to_numpy(np.int64)})
+
+    return (closed.map_batches(cnt_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(cnt_final, batch_format="pandas"))

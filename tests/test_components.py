@@ -155,3 +155,42 @@ def test_pagerank_plans_match_reference(ray_session):
             assert abs(got[k] - v) < 1e-9, (force, k, got[k], v)
     # the 6-in-edge star node beats the uniform baseline
     assert want[99] > 1.0 / len(want)
+
+
+def test_triangle_counts_random_parity(ray_session):
+    """Degree-ordered distributed triangle counts == brute-force numpy
+    enumeration on a random graph with a planted hub (the 'last
+    reducer' shape the orientation exists to kill)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from kb_ner_ray.stages.components import triangle_counts
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = set()
+    for a, b in itertools.combinations(range(n), 2):
+        if rng.random() < 0.12:
+            edges.add((a, b))
+    for v in range(1, 25):  # hub 0 connects to most of the graph
+        edges.add((0, v))
+    ea = np.array([a for a, _ in edges], np.int64)
+    eb = np.array([b for _, b in edges], np.int64)
+
+    # brute force per-node counts
+    adj = np.zeros((n, n), bool)
+    adj[ea, eb] = adj[eb, ea] = True
+    want = {}
+    for u, v, w in itertools.combinations(range(n), 3):
+        if adj[u, v] and adj[v, w] and adj[u, w]:
+            for x in (u, v, w):
+                want[x] = want.get(x, 0) + 1
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(ea), "doc_b": pa.array(eb)})).repartition(3)
+    got = (triangle_counts(pairs, n_buckets=4).to_pandas()
+           .set_index("doc_id")["n_triangles"].to_dict())
+    assert got == want and sum(want.values()) % 3 == 0
