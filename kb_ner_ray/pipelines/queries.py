@@ -3938,6 +3938,55 @@ FROM inj
 """
 
 
+def q_kmeans_embed(sf_dir: str):
+    """Full-corpus spherical k-means (stages/similarity.kmeans_embeddings,
+    5 Lloyd iterations): per-iteration exchange is the (k x dim) model
+    only — no shuffle ever.  Rows-only (iterative, not SQL-expressible);
+    semantics pinned by tests/test_new_ops.py numpy parity."""
+    from ..stages.similarity import kmeans_embeddings
+
+    ds, _cents = kmeans_embeddings(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=16, iters=5)
+    return (ds.to_pandas().astype(np.int64)
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def q_quality_classifier(sf_dir: str):
+    """Frozen linear quality-classifier inference
+    (stages/textstats.quality_classifier): the fastText/CCNet
+    "Wikipedia-like" model-filter seat — weights worker-resident,
+    vectorized hashed-unigram scoring, zero shuffles; md5 bucket ids so
+    the DuckDB oracle reproduces inference exactly."""
+    from ..stages.textstats import quality_classifier
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(quality_classifier, batch_format="pyarrow")
+
+
+SQL_QUALITY_CLASSIFIER = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS b
+  FROM toks),
+s AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum((b * 2654435761) % 2048 / 1024.0 - 1.0) AS raw
+  FROM h GROUP BY doc_id)
+SELECT doc_id, n_tokens, clf_bp,
+       CASE WHEN clf_bp >= 5000 THEN 1 ELSE 0 END AS keep
+FROM (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(1.0 / (1.0 + exp(-(raw / n_tokens))) * 10000 + 0.5)
+              AS BIGINT) AS clf_bp
+  FROM s)
+"""
+
+
 def q_dup_graph_triangles(sf_dir: str):
     """Per-node triangle counts over the exact-oracled charset-Jaccard
     near-dup graph (stages/components.triangle_counts, Suri &
@@ -4311,6 +4360,8 @@ def queries_registry():
         "events_funnel": q_events_funnel,
         "snapshot_delta": q_snapshot_delta,
         "dup_graph_triangles": q_dup_graph_triangles,
+        "quality_classifier": q_quality_classifier,
+        "kmeans_embed": q_kmeans_embed,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4459,6 +4510,7 @@ def oracle_registry():
         "events_funnel": SQL_EVENTS_FUNNEL,
         "snapshot_delta": SQL_SNAPSHOT_DELTA,
         "dup_graph_triangles": SQL_DUP_GRAPH_TRIANGLES.format(thr=JACCARD_THRESHOLD),
+        "quality_classifier": SQL_QUALITY_CLASSIFIER,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -671,3 +671,71 @@ def semdedup(emb_ds, seeds, threshold: float, S: int | None = None,
 
     return (markers.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__b").map_groups(resolve, batch_format="pandas"))
+
+
+# ---- distributed Lloyd's k-means over the FULL embedding corpus ------------
+
+
+def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 5,
+                      init: np.ndarray | None = None):
+    """Spherical k-means (Lloyd's) over the whole embedding Dataset —
+    the trained coarse quantizer behind IVF / SemDeDup at deployment
+    scale (train_ivf_centroids trains on a driver-side SAMPLE; this is
+    the full-corpus refinement loop).
+
+    Each iteration is ONE streaming pass: per-batch partials are the
+    (k, dim) cluster sums + k counts (np.add.at — bounded by the model
+    size, never the batch), the driver combine is k rows, and the new
+    centroids re-broadcast via ray.put.  No shuffle at any point; at
+    10^12 docs the per-iteration exchange is k x dim floats per block.
+    Deterministic: init = first-k vec_ids (or the caller's matrix),
+    argmax cosine with lowest-cluster tie-break, empty clusters keep
+    their previous centroid.  Returns (assignments Dataset(vec_id,
+    cluster), centroids ndarray)."""
+    import ray.data  # noqa: F401  (Dataset comes in, Dataset goes out)
+
+    if init is None:
+        sub = emb_ds.sort("vec_id").limit(k).to_pandas()
+        init = np.array(sub["embedding"].tolist(), dtype=np.float64)
+    cents = _normalize(np.asarray(init, dtype=np.float64))
+
+    def partial(t: pa.Table, cref=None) -> pa.Table:
+        c = _cached_state(cref, lambda x: x)
+        m = _normalize(_matrix(t.column("embedding")))
+        a = np.argmax(m @ c.T, axis=1)
+        kk, dim = c.shape
+        sums = np.zeros((kk, dim), np.float64)
+        np.add.at(sums, a, m)
+        cnt = np.bincount(a, minlength=kk).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+            "n": pa.array(cnt),
+            "vec": pa.array([row.tobytes() for row in sums], pa.binary()),
+        })
+
+    for _ in range(int(iters)):
+        cref = ray.put(cents)
+        pdf = emb_ds.map_batches(
+            partial, fn_kwargs={"cref": cref},
+            batch_format="pyarrow").to_pandas()
+        dim = cents.shape[1]
+        sums = np.zeros((k, dim), np.float64)
+        cnts = np.zeros(k, np.int64)
+        for cl, n, vb in zip(pdf["cluster"], pdf["n"], pdf["vec"]):
+            sums[cl] += np.frombuffer(vb, np.float64)
+            cnts[cl] += n
+        nxt = cents.copy()
+        nz = cnts > 0
+        nxt[nz] = sums[nz] / cnts[nz, None]
+        cents = _normalize(nxt)
+
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = _cached_state(cref, lambda x: x)
+        m = _normalize(_matrix(t.column("embedding")))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(a)})
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow"), cents

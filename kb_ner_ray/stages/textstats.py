@@ -807,3 +807,45 @@ def pii_redact(batch: pa.Table) -> pa.Table:
         "n_ips": pc.cast(n_ips, pa.int64()),
         "redacted": red,
     })
+
+
+# ---------- frozen linear quality classifier ----------------------------------
+
+CLF_BUCKETS = 1024
+
+
+def quality_classifier(batch: pa.Table) -> pa.Table:
+    """Frozen hashed-unigram LINEAR classifier inference — the
+    fastText-style quality-model seat (CCNet / LLaMA "Wikipedia-like"
+    filters run exactly this dataflow: frozen weights resident per
+    worker, vectorized bag-of-hashed-ngrams scoring, zero shuffles).
+
+    Weights here are a deterministic function of the hash bucket
+    (w_b = (b * 2654435761 mod 2048) / 1024 - 1, in [-1, 1)) so the
+    DuckDB oracle reproduces inference bit-for-bit; a deployment loads
+    trained weights into the same (CLF_BUCKETS,)-vector — the plan does
+    not change.  md5 runs once per DISTINCT token per batch
+    (vocab-bounded).  score = mean token weight -> sigmoid -> bp;
+    keep = clf_bp >= 5000."""
+    import hashlib
+
+    import numpy as np
+
+    from .sparse import _tokenize_batch
+
+    flat, di, lengths = _tokenize_batch(batch, "text")
+    toks = flat.to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(toks, return_inverse=True)
+    hb = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+         % CLF_BUCKETS for t in uniq), np.int64, len(uniq))
+    w = (hb * 2654435761 % 2048) / 1024.0 - 1.0
+    raw = np.bincount(di, weights=w[inv], minlength=len(batch))
+    prob = 1.0 / (1.0 + np.exp(-(raw / lengths)))
+    clf_bp = np.floor(prob * 10_000 + 0.5).astype(np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(lengths.astype(np.int64)),
+        "clf_bp": pa.array(clf_bp),
+        "keep": pa.array((clf_bp >= 5000).astype(np.int64)),
+    })

@@ -1147,3 +1147,47 @@ def test_snapshot_delta_dedup_semantics(ray_session):
     tiny = (snapshot_delta_dedup(old, new, bloom_bits=64, n_buckets=3)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert tiny.equals(out)
+
+
+def test_kmeans_embeddings_numpy_parity(ray_session):
+    """Distributed Lloyd's == straight-line numpy on the same init:
+    identical centroids and assignments after 4 iterations, invariant to
+    block layout."""
+    import numpy as np
+
+    from kb_ner_ray.stages.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(3)
+    k, dim, n = 4, 8, 120
+    m = rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    # float32 storage: parity baseline must read back the same dtype
+    m64 = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+    def norm(x):
+        nn = np.linalg.norm(x, axis=1, keepdims=True)
+        nn[nn == 0] = 1
+        return x / nn
+
+    cents = norm(m64[:k].copy())
+    mn = norm(m64)
+    for _ in range(4):
+        a = np.argmax(mn @ cents.T, axis=1)
+        nxt = cents.copy()
+        for c in range(k):
+            if (a == c).any():
+                nxt[c] = mn[a == c].mean(axis=0)
+        cents = norm(nxt)
+    want = np.argmax(mn @ cents.T, axis=1)
+
+    for parts in (2, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got_ds, got_c = kmeans_embeddings(ds, k=k, iters=4)
+        got = (got_ds.to_pandas().sort_values("vec_id")["cluster"]
+               .to_numpy(np.int64))
+        assert np.allclose(got_c, cents, atol=1e-12)
+        assert (got == want).all()
