@@ -4293,8 +4293,14 @@ def queries_registry():
       embed_outliers.  Kept in-window despite r04-green: token_postings,
       corpus_lang_stats, doc_keywords, doc_pmi, doc_bigram_ppl — their
       engines CHANGED in round 5 (salted reducers / bucketed pass-B /
-      join plan) so the driver must re-verify them.  The guard test's
-      rotated_in/out sets pin this list against the dict below);
+      join plan) so the driver must re-verify them.  A SECOND round-5
+      rotation swapped the seven NEW exact second-batch operators
+      (doc_pii_redact, semdedup, dsir_weights, events_funnel,
+      snapshot_delta, dup_graph_triangles, quality_classifier) in for
+      seven multi-round driver-green exacts with untouched engines
+      (pricing_summary, revenue_by_nation, doc_token_stats, dedup_exact,
+      doc_gopher_rules, near_dup_keep, doc_decontaminate).  The guard
+      test's rotated_in/out sets pin this list against the dict below);
     * positions 51+   — the multimodal trio and every rotated-out exact
       entry; plan-parity variants remain unregistered with pytest pins.
     """
@@ -4312,22 +4318,24 @@ def queries_registry():
         "corpus_prep": q_corpus_prep,
         "doc_splits": q_doc_splits,
         # -- exact-oracled queries kept in-window --------------------------
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
         "token_postings": q_token_postings,
         "corpus_lang_stats": q_corpus_lang_stats,
         "doc_line_dedup": q_doc_line_dedup,
+        "doc_pii_redact": q_doc_pii_redact,
+        "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
+        "events_funnel": q_events_funnel,
+        "snapshot_delta": q_snapshot_delta,
+        "dup_graph_triangles": q_dup_graph_triangles,
+        "quality_classifier": q_quality_classifier,
         "doc_keywords": q_doc_keywords,
         "doc_passage_dedup": q_doc_passage_dedup,
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "corpus_shuffle": q_corpus_shuffle,
         "doc_pmi": q_doc_pmi,
-        "doc_token_stats": q_doc_token_stats,
         "doc_contamination_frac": q_doc_contamination_frac,
         "events_winsorized_stats": q_events_winsorized_stats,
-        "doc_gopher_rules": q_doc_gopher_rules,
         "corpus_export": q_corpus_export,
-        "dedup_exact": q_dedup_exact,
         "source_reputation_filter": q_source_reputation_filter,
         "pricing_correlation": q_pricing_correlation,
         "temperature_sample": q_temperature_sample,
@@ -4337,9 +4345,7 @@ def queries_registry():
         "pricing_cube": q_pricing_cube,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "ngram_jaccard_components": q_ngram_jaccard_components,
-        "near_dup_keep": q_near_dup_keep,
         "source_stats_salted": q_source_stats_salted,
-        "doc_decontaminate": q_doc_decontaminate,
         # -- round-5 rotation: first-ever driver rows (all rows-only) ------
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "ivf_knn": q_ivf_knn,
@@ -4354,13 +4360,6 @@ def queries_registry():
         "kg_ensemble_multirun": q_kg_ensemble_multirun,  # rows-only;
         # pinned == fused kg_ensemble by test_ensemble_runs
         # -- past the 50-entry window --------------------------------------
-        "doc_pii_redact": q_doc_pii_redact,
-        "semdedup": q_semdedup,
-        "dsir_weights": q_dsir_weights,
-        "events_funnel": q_events_funnel,
-        "snapshot_delta": q_snapshot_delta,
-        "dup_graph_triangles": q_dup_graph_triangles,
-        "quality_classifier": q_quality_classifier,
         "kmeans_embed": q_kmeans_embed,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
@@ -4397,6 +4396,16 @@ def queries_registry():
         "ngram_jaccard": q_ngram_jaccard,
         # round-5 rotated out (driver-green exact in r04, engines
         # untouched this round):
+        # second round-5 rotation (displaced by the exact second-batch ops
+        # doc_pii_redact / semdedup / dsir_weights / events_funnel /
+        # snapshot_delta / dup_graph_triangles / quality_classifier):
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "doc_token_stats": q_doc_token_stats,
+        "dedup_exact": q_dedup_exact,
+        "doc_gopher_rules": q_doc_gopher_rules,
+        "near_dup_keep": q_near_dup_keep,
+        "doc_decontaminate": q_doc_decontaminate,
         "events_sessionize": q_events_sessionize,
         "events_asof_orders": q_events_asof_orders,
         "customers_with_orders": q_customers_with_orders,

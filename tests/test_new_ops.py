@@ -576,7 +576,13 @@ def test_registry_window_carries_full_signal():
                    # displaced by round-5-new source_reputation_filter
                    "knn_bruteforce",
                    # displaced by round-5-new pricing_correlation
-                   "embed_near_dup"}
+                   "embed_near_dup",
+                   # second round-5 rotation: displaced by the seven NEW
+                   # exact second-batch ops (multi-round driver-green,
+                   # engines untouched this round)
+                   "pricing_summary", "revenue_by_nation",
+                   "doc_token_stats", "dedup_exact", "doc_gopher_rules",
+                   "near_dup_keep", "doc_decontaminate"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -599,6 +605,12 @@ def test_registry_window_carries_full_signal():
                          "source_reputation_filter",
                          "pricing_correlation"}
     assert engine_changed_r5 <= window, engine_changed_r5 - window
+    # round-5 second batch: all seven NEW exact operators earn their
+    # first driver rows this round
+    new_batch2 = {"doc_pii_redact", "semdedup", "dsir_weights",
+                  "events_funnel", "snapshot_delta",
+                  "dup_graph_triangles", "quality_classifier"}
+    assert new_batch2 <= window, new_batch2 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
         assert n in rotated_out or sql in in_window_sql, \
