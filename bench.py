@@ -49,6 +49,13 @@ SIDE_QUERIES = [
     # round-5 operators
     "doc_line_dedup",
     "pack_sequences",
+    # round-5 second batch
+    "semdedup",
+    "snapshot_delta",
+    "dsir_weights",
+    "quality_classifier",
+    "dup_graph_triangles",
+    "kmeans_embed",
 ]
 
 

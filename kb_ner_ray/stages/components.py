@@ -507,8 +507,46 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 # ---- triangle counting (near-dup graph density) ------------------------------
 
 
+def _triangle_counts_driver(ea: np.ndarray, eb: np.ndarray) -> dict:
+    """Driver-plan triangle counting: degree-ordered orientation, wedges
+    enumerated per low-rank node, closure via sorted-key searchsorted —
+    the SAME algorithm as the distributed plan, one process."""
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes))
+    a, b = inv[:len(ea)], inv[len(ea):]
+    # rank = (deg, node-index); orient low -> high
+    a_low = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    u = np.where(a_low, a, b)
+    v = np.where(a_low, b, a)
+    # unordered closure keys, sorted for searchsorted membership
+    m = len(nodes)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    ekeys = np.sort(lo.astype(np.int64) * m + hi)
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    starts = np.searchsorted(us, np.arange(m))
+    ends = np.searchsorted(us, np.arange(m) + 1)
+    counts = np.zeros(m, np.int64)
+    for w in np.flatnonzero(ends - starts >= 2):
+        nbr = np.unique(vs[starts[w]:ends[w]])
+        i, j = np.triu_indices(len(nbr), k=1)
+        x, y = nbr[i], nbr[j]
+        keys = np.minimum(x, y).astype(np.int64) * m + np.maximum(x, y)
+        pos = np.searchsorted(ekeys, keys)
+        pos = np.minimum(pos, len(ekeys) - 1)
+        closed = ekeys[pos] == keys
+        if not closed.any():
+            continue
+        counts[w] += int(closed.sum())
+        np.add.at(counts, x[closed], 1)
+        np.add.at(counts, y[closed], 1)
+    nz = np.flatnonzero(counts)
+    return {"node": nodes[nz], "c": counts[nz]}
+
+
 def triangle_counts(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
-                    n_buckets: int | None = None):
+                    n_buckets: int | None = None,
+                    driver_max_bytes: int | None = None):
     """Per-node triangle counts over an undirected simple edge list —
     the degree-ordered node-iterator (Suri & Vassilvitskii 2011,
     "Counting triangles and the curse of the last reducer"): orient
@@ -520,8 +558,13 @@ def triangle_counts(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
 
     Exchanges: one degree aggregation, two bucketed rank joins, one
     wedge/edge co-shuffle, one per-node count shuffle — every stage
-    fixed-width (ints only).  Returns Dataset(doc_id, n_triangles) for
-    nodes in >= 1 triangle."""
+    fixed-width (ints only).  Below the measured edge-byte gate
+    (``driver_max_bytes``, default DRIVER_CC_MAX_BYTES; pass 0 to force
+    the distributed plan) the same degree-ordered algorithm runs as ONE
+    vectorized driver pass — the components_from_pairs plan-gate
+    discipline: a verified near-dup pair list is tiny next to its
+    corpus, so five sequential shuffle barriers are pure latency there.
+    Returns Dataset(doc_id, n_triangles) for nodes in >= 1 triangle."""
     import pandas as pd
     import ray.data as rd
 
@@ -533,6 +576,15 @@ def triangle_counts(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
         return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "n_triangles": pa.array([], pa.int64())}))
+    gate = (DRIVER_CC_MAX_BYTES if driver_max_bytes is None
+            else driver_max_bytes)
+    if (edges.size_bytes() or 0) <= gate:
+        pdf = edges.to_pandas()
+        out = _triangle_counts_driver(
+            pdf[a_col].to_numpy(np.int64), pdf[b_col].to_numpy(np.int64))
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(out["node"], pa.int64()),
+            "n_triangles": pa.array(out["c"], pa.int64())}))
 
     def deg_partial(t: pa.Table) -> pa.Table:
         n = np.concatenate([t[a_col].to_numpy(), t[b_col].to_numpy()])

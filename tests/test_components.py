@@ -191,6 +191,10 @@ def test_triangle_counts_random_parity(ray_session):
 
     pairs = ray.data.from_arrow(pa.table({
         "doc_a": pa.array(ea), "doc_b": pa.array(eb)})).repartition(3)
+    # byte-gated driver plan AND the forced distributed plan (gate=0)
     got = (triangle_counts(pairs, n_buckets=4).to_pandas()
            .set_index("doc_id")["n_triangles"].to_dict())
-    assert got == want and sum(want.values()) % 3 == 0
+    dist = (triangle_counts(pairs, n_buckets=4, driver_max_bytes=0)
+            .to_pandas().set_index("doc_id")["n_triangles"].to_dict())
+    assert got == want and dist == want
+    assert sum(want.values()) % 3 == 0
