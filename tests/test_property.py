@@ -171,3 +171,55 @@ def test_mg_lower_bound_law(values, n_parts):
     assert merged.n == len(vals)
     for v, est in merged.counters.items():
         assert 0 < est <= true[v]
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    max_size=80), min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_pii_redact_idempotent_and_clean(texts):
+    """redact(redact(x)) == redact(x), and no email pattern survives a
+    redaction pass (replacement tokens contain no digits or '@')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kb_ner_ray.stages.textstats import PII_EMAIL_RE, pii_redact
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    once = pii_redact(t)
+    again = pii_redact(pa.table({"doc_id": once["doc_id"],
+                                 "text": once["redacted"]}))
+    assert once["redacted"].to_pylist() == again["redacted"].to_pylist()
+    assert pc.sum(pc.count_substring_regex(
+        once["redacted"], pattern=PII_EMAIL_RE)).as_py() in (0, None)
+
+
+@given(st.lists(st.sampled_from(["aa bb cc", "bb cc dd aa", "", "zz",
+                                 "aa bb", "cc dd ee ff gg"]),
+                min_size=1, max_size=16),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=25, deadline=None)
+def test_dsir_weights_block_layout_invariant(ray_session, texts, parts):
+    """DSIR scores are a pure function of the corpus — block layout and
+    batch boundaries must not change a single basis point."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from kb_ner_ray.stages.dsir import dsir_weights
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en" if i % 2 == 0 else "xx"
+                          for i in range(len(texts))], pa.string()),
+    })
+
+    def run(p):
+        ds = _ray.data.from_arrow(t).repartition(p)
+        return (dsir_weights(ds).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    assert run(1).equals(run(parts))
