@@ -274,6 +274,12 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
         keys = g.loc[g["__side"] == "R", on].unique()
         keep = lg[on].isin(keys)
         out = lg.loc[~keep if anti else keep, l_cols].copy()
+        if not len(out):
+            # typed empty Arrow block: an empty object-dtype pandas frame
+            # trips Ray's block-size estimator ("cannot call `vectorize`
+            # on size 0 inputs") on every string column
+            return pa.Table.from_arrays(
+                [pa.array([], l_types[c]) for c in l_cols], names=l_cols)
         for c in int_cols:  # un-float null-widened integer columns
             if out[c].notna().all():
                 out[c] = out[c].astype("int64")
