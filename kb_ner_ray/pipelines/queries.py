@@ -3938,6 +3938,32 @@ FROM inj
 """
 
 
+def q_fuzzy_decontaminate(sf_dir: str):
+    """FUZZY (MinHash-banded + exact-Jaccard-verified) benchmark
+    decontamination (stages/dedup.fuzzy_decontaminate): catches the
+    paraphrased/lightly-edited leaks exact gram overlap misses.  Same
+    broadcast-small-side zero-shuffle contract as doc_decontaminate;
+    rows-only (LSH recall <1 below jaccard~1 — the exact sibling holds
+    the oracle), planted-leak recall pinned by pytest."""
+    from ..stages.dedup import fuzzy_decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split_filter(lo: int, hi: int):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.cast(
+                pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], 10), 10)),
+                pa.int64())
+            keep = pc.and_(pc.greater_equal(m, lo), pc.less(m, hi))
+            return t.filter(keep)
+        return fn
+
+    train = docs.map_batches(split_filter(0, 8), batch_format="pyarrow")
+    bench = docs.map_batches(split_filter(9, 10), batch_format="pyarrow")
+    return fuzzy_decontaminate(train, bench, threshold=0.5)
+
+
 def q_kmeans_embed(sf_dir: str):
     """Full-corpus spherical k-means (stages/similarity.kmeans_embeddings,
     5 Lloyd iterations): per-iteration exchange is the (k x dim) model
@@ -4361,6 +4387,7 @@ def queries_registry():
         # pinned == fused kg_ensemble by test_ensemble_runs
         # -- past the 50-entry window --------------------------------------
         "kmeans_embed": q_kmeans_embed,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)

@@ -1378,3 +1378,107 @@ def snapshot_delta_dedup(old_ds, new_ds, *, bloom_bits: int = 1 << 20,
     return (survivors.map_batches(add_salt, batch_format="pyarrow")
             .groupby("salt")
             .map_groups(collapse_bucket, batch_format="pandas"))
+
+
+def fuzzy_decontaminate(docs_ds, benchmark_ds, *, threshold: float = 0.8,
+                        max_benchmark_bytes: int = 1 << 30):
+    """FUZZY benchmark decontamination (the Dolma/RefinedWeb companion
+    to the exact n-gram `decontaminate`): flag corpus docs whose word-
+    shingle Jaccard against ANY benchmark doc reaches ``threshold``,
+    finding paraphrased/lightly-edited leaks that exact gram overlap
+    misses.
+
+    Scale shape (benchmark small, corpus the 100-TB side — same contract
+    as `decontaminate`, byte-gated): the benchmark's MinHash band keys
+    AND its sorted shingle sets broadcast once via ray.put; every corpus
+    batch computes signatures, probes the band table for candidates
+    (LSH: only band-colliding pairs verify), then confirms with the
+    EXACT shingle-set Jaccard — ZERO shuffles, one corpus pass.  Banding
+    recall is <1 below cosine~1 (the standard LSH trade; ~0.9998 at
+    jaccard 0.8 with 16x4 bands), so this op is rows-only: the exact
+    sibling remains the oracle-checked seat.
+
+    Returns Dataset(doc_id, n_candidates, bench_id, jac_bp,
+    contaminated) with bench_id = best-matching benchmark doc (-1 if no
+    candidate), ties broken toward the lower bench_id."""
+    import pandas as pd
+    import ray
+
+    def bench_state(t: pa.Table) -> pa.Table:
+        rows_bid, rows_band, rows_key, rows_sh = [], [], [], []
+        for bid, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            sh = shingles(text)
+            sig = minhash_signature(sh)
+            shb = np.asarray(sorted(sh), dtype=np.int64).tobytes()
+            for band in range(N_BANDS):
+                rows = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
+                rows_bid.append(bid)
+                rows_band.append(band)
+                rows_key.append(hashlib.blake2b(
+                    rows.tobytes(), digest_size=8).hexdigest())
+                rows_sh.append(shb)
+        return pa.table({"bench_id": pa.array(rows_bid, pa.int64()),
+                         "band_id": pa.array(rows_band, pa.int32()),
+                         "band_key": pa.array(rows_key, pa.string()),
+                         "sh": pa.array(rows_sh, pa.binary())})
+
+    b_ds = benchmark_ds.map_batches(
+        bench_state, batch_format="pyarrow").materialize()
+    if (b_ds.size_bytes() or 0) > max_benchmark_bytes:
+        raise ValueError(
+            f"fuzzy_decontaminate: benchmark state is {b_ds.size_bytes()} "
+            f"bytes (> {max_benchmark_bytes}); the broadcast plan needs a "
+            "SMALL benchmark side — use the banded pair join for "
+            "corpus-vs-corpus near-dup")
+    bpdf = b_ds.to_pandas()
+    bands: dict = {}
+    sh_by_id: dict = {}
+    for bid, band, key, shb in zip(bpdf["bench_id"], bpdf["band_id"],
+                                   bpdf["band_key"], bpdf["sh"]):
+        bands.setdefault((int(band), key), []).append(int(bid))
+        sh_by_id.setdefault(int(bid),
+                            np.frombuffer(shb, dtype=np.int64))
+    state_ref = ray.put((bands, sh_by_id))
+
+    def flag(t: pa.Table) -> pa.Table:
+        from .similarity import _cached_state
+
+        bands_, sh_ = _cached_state(state_ref, lambda s: s)
+        ids = t.column("doc_id").to_pylist()
+        n_cand = np.zeros(len(ids), np.int64)
+        best_id = np.full(len(ids), -1, np.int64)
+        best_bp = np.zeros(len(ids), np.int64)
+        for r, text in enumerate(t.column("text").to_pylist()):
+            sh = shingles(text)
+            sig = minhash_signature(sh)
+            cands: set = set()
+            for band in range(N_BANDS):
+                rows = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
+                key = hashlib.blake2b(rows.tobytes(),
+                                      digest_size=8).hexdigest()
+                cands.update(bands_.get((band, key), ()))
+            n_cand[r] = len(cands)
+            if not cands:
+                continue
+            mine = np.asarray(sorted(sh), dtype=np.int64)
+            for bid in sorted(cands):
+                other = sh_[bid]
+                inter = len(np.intersect1d(mine, other,
+                                           assume_unique=True))
+                union = len(mine) + len(other) - inter
+                bp = int(np.floor(1e4 * inter / union + 0.5)) if union \
+                    else 10_000
+                if bp > best_bp[r]:
+                    best_bp[r], best_id[r] = bp, bid
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)),
+            "n_candidates": pa.array(n_cand),
+            "bench_id": pa.array(best_id),
+            "jac_bp": pa.array(best_bp),
+            "contaminated": pa.array(
+                (best_bp >= int(np.floor(threshold * 1e4 + 0.5)))
+                .astype(np.int64)),
+        })
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")

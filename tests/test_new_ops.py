@@ -1203,3 +1203,34 @@ def test_kmeans_embeddings_numpy_parity(ray_session):
                .to_numpy(np.int64))
         assert np.allclose(got_c, cents, atol=1e-12)
         assert (got == want).all()
+
+
+def test_fuzzy_decontaminate_planted_leak(ray_session):
+    """A verbatim benchmark copy and a one-token paraphrase are both
+    flagged; unrelated docs are not, and never even reach verification
+    (zero candidates)."""
+    from kb_ner_ray.stages.dedup import fuzzy_decontaminate
+
+    bench_text = ("the quick brown fox jumps over the lazy dog "
+                  "and then runs far away into the deep green woods")
+    edited = bench_text.replace("lazy", "sleepy")
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            bench_text,                       # verbatim leak
+            edited,                           # paraphrased leak
+            "completely unrelated words " * 6,
+            "zz yy xx ww vv uu tt ss rr qq",
+        ]),
+    })).repartition(2)
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([bench_text]),
+    }))
+    out = (fuzzy_decontaminate(corpus, bench, threshold=0.6)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "contaminated"] == 1
+    assert out.loc[0, "jac_bp"] == 10_000 and out.loc[0, "bench_id"] == 100
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "jac_bp"] < 10_000
+    assert (out.loc[[2, 3], "contaminated"] == 0).all()
+    assert (out.loc[[2, 3], "n_candidates"] == 0).all()
