@@ -3938,6 +3938,67 @@ FROM inj
 """
 
 
+BURST_GAP_MIN = 10
+
+
+def q_events_burst_dedup(sf_dir: str):
+    """Telemetry/log burst dedup (ingest hygiene: retries and
+    double-fires arrive as same-key bursts): drop an event when the SAME
+    (user, type) fired within the previous BURST_GAP_MIN minutes.  ONE
+    coarse user-hash bucket shuffle — all of a user's keys dedup in one
+    vectorized pass (sort + shift + integer-microsecond diff), dispatch
+    O(buckets) like events_sessionize."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    mask = _pow2_buckets() - 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
+        return t.append_column("bucket", b)
+
+    gap_us = BURST_GAP_MIN * 60 * 1_000_000
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        usec = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new_key = (g["user_id"].ne(g["user_id"].shift())
+                   | g["event_type"].ne(g["event_type"].shift()))
+        prev = np.roll(usec, 1)
+        keep = new_key.to_numpy() | ((usec - prev) > gap_us)
+        out = g.loc[keep, ["event_id", "user_id", "event_type"]]
+        return out.astype({"event_id": np.int64, "user_id": np.int64})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dedup_bucket, batch_format="pandas"))
+
+
+SQL_EVENTS_BURST_DEDUP = f"""
+WITH x AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, event_type FROM x
+WHERE prev IS NULL OR ts - prev > INTERVAL {BURST_GAP_MIN} MINUTE
+"""
+
+
+def q_semdedup_trained(sf_dir: str):
+    """SemDeDup with a TRAINED coarse quantizer — the published form
+    (Abbas et al. 2023 cluster with k-means, not seeds): full-corpus
+    Lloyd k-means (kmeans_embeddings, model-only exchange) feeds its
+    centroids into the cluster-local pairwise dedup.  Rows-only (the
+    seeded variant holds the exact oracle); machinery pinned by the
+    semdedup + kmeans pytests."""
+    from ..stages.similarity import kmeans_embeddings, semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _assign, cents = kmeans_embeddings(emb, k=16, iters=3)
+    seeds = (list(range(len(cents))), cents)
+    return semdedup(emb, seeds, threshold=NEAR_DUP_COSINE)
+
+
 def q_fuzzy_decontaminate(sf_dir: str):
     """FUZZY (MinHash-banded + exact-Jaccard-verified) benchmark
     decontamination (stages/dedup.fuzzy_decontaminate): catches the
@@ -4371,7 +4432,7 @@ def queries_registry():
         "pricing_cube": q_pricing_cube,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "ngram_jaccard_components": q_ngram_jaccard_components,
-        "source_stats_salted": q_source_stats_salted,
+        "events_burst_dedup": q_events_burst_dedup,
         # -- round-5 rotation: first-ever driver rows (all rows-only) ------
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "ivf_knn": q_ivf_knn,
@@ -4388,6 +4449,7 @@ def queries_registry():
         # -- past the 50-entry window --------------------------------------
         "kmeans_embed": q_kmeans_embed,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "semdedup_trained": q_semdedup_trained,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4433,6 +4495,7 @@ def queries_registry():
         "doc_gopher_rules": q_doc_gopher_rules,
         "near_dup_keep": q_near_dup_keep,
         "doc_decontaminate": q_doc_decontaminate,
+        "source_stats_salted": q_source_stats_salted,
         "events_sessionize": q_events_sessionize,
         "events_asof_orders": q_events_asof_orders,
         "customers_with_orders": q_customers_with_orders,
@@ -4547,6 +4610,7 @@ def oracle_registry():
         "snapshot_delta": SQL_SNAPSHOT_DELTA,
         "dup_graph_triangles": SQL_DUP_GRAPH_TRIANGLES.format(thr=JACCARD_THRESHOLD),
         "quality_classifier": SQL_QUALITY_CLASSIFIER,
+        "events_burst_dedup": SQL_EVENTS_BURST_DEDUP,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -582,7 +582,9 @@ def test_registry_window_carries_full_signal():
                    # engines untouched this round)
                    "pricing_summary", "revenue_by_nation",
                    "doc_token_stats", "dedup_exact", "doc_gopher_rules",
-                   "near_dup_keep", "doc_decontaminate"}
+                   "near_dup_keep", "doc_decontaminate",
+                   # displaced by the round-5-new events_burst_dedup
+                   "source_stats_salted"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -609,7 +611,8 @@ def test_registry_window_carries_full_signal():
     # first driver rows this round
     new_batch2 = {"doc_pii_redact", "semdedup", "dsir_weights",
                   "events_funnel", "snapshot_delta",
-                  "dup_graph_triangles", "quality_classifier"}
+                  "dup_graph_triangles", "quality_classifier",
+                  "events_burst_dedup"}
     assert new_batch2 <= window, new_batch2 - window
     in_window_sql = {sql for n, sql in oracles.items() if n in window}
     for n, sql in oracles.items():
@@ -1234,3 +1237,30 @@ def test_fuzzy_decontaminate_planted_leak(ray_session):
     assert out.loc[1, "contaminated"] == 1 and out.loc[1, "jac_bp"] < 10_000
     assert (out.loc[[2, 3], "contaminated"] == 0).all()
     assert (out.loc[[2, 3], "n_candidates"] == 0).all()
+
+
+def test_events_burst_dedup_semantics(ray_session):
+    """Burst dedup: a same-key retry inside the gap drops, the next fire
+    past the gap keeps, different keys never interact."""
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_burst_dedup
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 7, "click", t0),
+        (2, 7, "click", t0 + dt.timedelta(minutes=5)),   # burst -> drop
+        (3, 7, "click", t0 + dt.timedelta(minutes=16)),  # past gap -> keep
+        (4, 7, "view", t0 + dt.timedelta(minutes=5)),    # other key
+        (5, 8, "click", t0 + dt.timedelta(minutes=5)),   # other user
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    sf = tempfile.mkdtemp(prefix="burst_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_burst_dedup(sf).to_pandas()
+    assert sorted(out["event_id"]) == [1, 3, 4, 5]
