@@ -195,9 +195,11 @@ def asof_join(left_ds, right_ds, left_ts: str, right_ts: str,
 
 
 def _build_bloom(keys_ds, col: str, n_bits: int):
-    """Distributed Bloom build: per-batch partial filters OR-merged on the
-    driver (each partial is a fixed n_bits/8-byte blob — combiner-sized,
-    corpus-independent)."""
+    """Distributed Bloom build: per-batch partial filters, an in-stream
+    OR-combine level (every worker batch of partial blobs collapses to
+    ONE blob — the driver never holds the n_blocks x n_bits/8 partial
+    stream), then a STREAMING driver OR over the combined rows
+    (iter_batches: O(1) driver memory regardless of block count)."""
     import numpy as np
 
     from .partitioning import BloomFilter
@@ -207,11 +209,23 @@ def _build_bloom(keys_ds, col: str, n_bits: int):
         bf.add_many(t[col])
         return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
 
+    def or_combine(t: pa.Table) -> pa.Table:
+        acc = None
+        for b in t["bits"].to_pylist():
+            arr = np.frombuffer(b, dtype=np.uint8)
+            acc = arr.copy() if acc is None else acc | arr
+        if acc is None:
+            return pa.table({"bits": pa.array([], pa.binary())})
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    combined = (keys_ds.map_batches(partial, batch_format="pyarrow")
+                .map_batches(or_combine, batch_format="pyarrow",
+                             batch_size=64))
     bits = None
-    for b in (keys_ds.map_batches(partial, batch_format="pyarrow")
-              .to_pandas()["bits"]):
-        arr = np.frombuffer(b, dtype=np.uint8)
-        bits = arr.copy() if bits is None else bits | arr
+    for batch in combined.iter_batches(batch_format="pyarrow"):
+        for b in batch["bits"].to_pylist():
+            arr = np.frombuffer(b, dtype=np.uint8)
+            bits = arr.copy() if bits is None else bits | arr
     return BloomFilter(n_bits, bits if bits is not None else None)
 
 
