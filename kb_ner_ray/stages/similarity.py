@@ -695,7 +695,16 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 5,
     import ray.data  # noqa: F401  (Dataset comes in, Dataset goes out)
 
     if init is None:
-        sub = emb_ds.sort("vec_id").limit(k).to_pandas()
+        # deterministic first-k-by-vec_id init WITHOUT a global sort:
+        # per-batch min-k partials (k rows each), driver head-k merge —
+        # the driver sees n_blocks x k rows, never the corpus
+        def min_k(t: pa.Table) -> pa.Table:
+            df = (t.select(["vec_id", "embedding"]).to_pandas()
+                  .sort_values("vec_id").head(k))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        sub = (emb_ds.map_batches(min_k, batch_format="pyarrow")
+               .to_pandas().sort_values("vec_id").head(k))
         init = np.array(sub["embedding"].tolist(), dtype=np.float64)
     cents = _normalize(np.asarray(init, dtype=np.float64))
 
