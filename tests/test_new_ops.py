@@ -1079,6 +1079,26 @@ def test_semdedup_planted_and_fanout(ray_session):
     big = run(S=5, n_buckets=64)
     assert out.equals(big)
 
+    # hot-cluster skew: EVERY vector lands in seed 0's cluster; the
+    # cluster-local triangle split must still find the planted dup and
+    # stay S-invariant (one cluster == the whole corpus is the
+    # worst-case reducer shape the cell decomposition exists for)
+    hot = np.tile(base[0], (30, 1)) + rng.normal(scale=0.01, size=(30, dim))
+    hot[9] = hot[4] + rng.normal(scale=1e-4, size=dim)
+    th = pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in hot],
+                              pa.list_(pa.float32())),
+    })
+    hds = ray.data.from_arrow(th).repartition(3)
+    a = (semdedup(hds, seeds, threshold=0.9999, S=2, n_buckets=2)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    b = (semdedup(hds, seeds, threshold=0.9999, S=6, n_buckets=32)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert (a["cluster"] == 0).all()
+    assert a.loc[9, "keep"] == 0 and a.loc[4, "keep"] == 1
+
 
 def test_dsir_weights_orders_target_like_docs(ray_session):
     """DSIR: a doc built from target-language bigrams outscores a doc of
