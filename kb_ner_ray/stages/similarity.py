@@ -368,35 +368,45 @@ def near_dup_pairs_lsh(emb_ds, threshold: float = 0.95,
 # ---- exact blocked cosine pair join (triangle decomposition) ----------------
 
 
+def _tri_cell_tables(S: int):
+    """Per-part cell tables for the triangle decomposition: part p joins
+    EXACTLY S cells (the (i, j), i<=j pairs containing p), so the explode
+    vectorizes as a np.repeat + table lookup instead of a per-row loop."""
+    cells = np.zeros((S, S), np.int64)
+    gis = np.zeros((S, S), np.int32)
+    gjs = np.zeros((S, S), np.int32)
+    for part in range(S):
+        k = 0
+        for i in range(S):
+            for j in range(i, S):
+                if part != i and part != j:
+                    continue
+                cells[part, k] = i * S + j
+                gis[part, k] = i
+                gjs[part, k] = j
+                k += 1
+        assert k == S
+    return cells, gis, gjs
+
+
 def _cosine_tri_rows(batch: pa.Table, S: int) -> pa.Table:
     """Explode each vector into its triangle-decomposition groups (same
     scheme as dedup._jaccard_salted_rows): part p = hash(vec_id) % S; the
     vector joins every cell (i, j), i<=j, with p in {i, j} — S rows per
-    vector, each unordered pair of vectors meets in EXACTLY one cell."""
+    vector, each unordered pair of vectors meets in EXACTLY one cell.
+    Fully vectorized (round-5): np.repeat + per-part cell-table lookup."""
     vids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
     m = _normalize(_matrix(batch.column("embedding")))
     parts = ((vids * 2654435761) % (1 << 32) % S).astype(np.int32)
-    keys, gis, gjs, pouts, ids, embs = [], [], [], [], [], []
-    for r in range(len(vids)):
-        p = int(parts[r])
-        eb = m[r].tobytes()
-        for i in range(S):
-            for j in range(i, S):
-                if p != i and p != j:
-                    continue
-                keys.append(i * S + j)
-                gis.append(i)
-                gjs.append(j)
-                pouts.append(p)
-                ids.append(int(vids[r]))
-                embs.append(eb)
+    cells_t, gis_t, gjs_t = _tri_cell_tables(S)
+    embs = np.array([row.tobytes() for row in m], dtype=object)
     return pa.table({
-        "cell": pa.array(keys, pa.int32()),
-        "gi": pa.array(gis, pa.int32()),
-        "gj": pa.array(gjs, pa.int32()),
-        "part": pa.array(pouts, pa.int32()),
-        "vec_id": pa.array(ids, pa.int64()),
-        "emb": pa.array(embs, pa.binary()),
+        "cell": pa.array(cells_t[parts].reshape(-1).astype(np.int32)),
+        "gi": pa.array(gis_t[parts].reshape(-1)),
+        "gj": pa.array(gjs_t[parts].reshape(-1)),
+        "part": pa.array(np.repeat(parts, S)),
+        "vec_id": pa.array(np.repeat(vids, S)),
+        "emb": pa.array(np.repeat(embs, S), pa.binary()),
     })
 
 
@@ -565,29 +575,18 @@ def _semdedup_rows(batch: pa.Table, seeds_ref=None, S: int = 2) -> pa.Table:
     q = np.floor((m @ seeds.T) * 10_000 + 0.5).astype(np.int64)
     cl = sids[np.argmax(q, axis=1)]  # first max == lowest sid on ties
     parts = ((vids * 2654435761) % (1 << 32) % S).astype(np.int32)
-    cells, gis, gjs, pouts, ids, cls, embs = [], [], [], [], [], [], []
-    for r in range(len(vids)):
-        p = int(parts[r])
-        eb = m[r].tobytes()
-        for i in range(S):
-            for j in range(i, S):
-                if p != i and p != j:
-                    continue
-                cells.append(int(cl[r]) * S * S + i * S + j)
-                gis.append(i)
-                gjs.append(j)
-                pouts.append(p)
-                ids.append(int(vids[r]))
-                cls.append(int(cl[r]))
-                embs.append(eb)
+    cells_t, gis_t, gjs_t = _tri_cell_tables(S)
+    embs = np.array([row.tobytes() for row in m], dtype=object)
+    cl_rep = np.repeat(cl.astype(np.int64), S)
     return pa.table({
-        "cell": pa.array(cells, pa.int64()),
-        "gi": pa.array(gis, pa.int32()),
-        "gj": pa.array(gjs, pa.int32()),
-        "part": pa.array(pouts, pa.int32()),
-        "vec_id": pa.array(ids, pa.int64()),
-        "cluster": pa.array(cls, pa.int64()),
-        "emb": pa.array(embs, pa.binary()),
+        "cell": pa.array(cl_rep * S * S
+                         + cells_t[parts].reshape(-1)),
+        "gi": pa.array(gis_t[parts].reshape(-1)),
+        "gj": pa.array(gjs_t[parts].reshape(-1)),
+        "part": pa.array(np.repeat(parts, S)),
+        "vec_id": pa.array(np.repeat(vids, S)),
+        "cluster": pa.array(cl_rep),
+        "emb": pa.array(np.repeat(embs, S), pa.binary()),
     })
 
 
