@@ -3938,6 +3938,65 @@ FROM inj
 """
 
 
+RANGE_SEARCH_COSINE = 0.35
+
+
+def q_range_search(sf_dir: str):
+    """Cosine RADIUS (range) search — the retrieval seat next to top-k
+    kNN: every corpus vector within the query's cosine radius, not a
+    fixed k.  Query matrix broadcast once via ray.put, per-batch matmul
+    + threshold mask, zero shuffles, output streams (no driver top-k
+    merge needed — the radius bounds the result, not a rank cut)."""
+    from ..stages.similarity import _cached_state, _matrix, _normalize
+    from ..stages.similarity import load_queries
+
+    qs = load_queries(f"{sf_dir}/embeddings.parquet", N_QUERIES)
+    qref = ray.put(qs)
+
+    def match(t: pa.Table) -> pa.Table:
+        def build(q):
+            qids, qmat = q
+            return (np.asarray(qids, np.int64), _normalize(qmat),
+                    set(qids))
+
+        qids, qnorm, exclude = _cached_state(qref, build)
+        vids = t["vec_id"].to_numpy()
+        keep = ~np.isin(vids, list(exclude))
+        vids = vids[keep]
+        if not len(vids):
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "sim_bp": pa.array([], pa.int64())})
+        m = _normalize(_matrix(t.column("embedding"))[keep])
+        sims = qnorm @ m.T
+        qi, vi = np.nonzero(sims >= RANGE_SEARCH_COSINE)
+        return pa.table({
+            "qid": pa.array(qids[qi]),
+            "nid": pa.array(vids[vi].astype(np.int64)),
+            "sim_bp": pa.array(_cents(sims[qi, vi], 10000)),
+        })
+
+    return _read(sf_dir, "embeddings",
+                 columns=["vec_id", "embedding"]) \
+        .map_batches(match, batch_format="pyarrow")
+
+
+SQL_RANGE_SEARCH = f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings
+           WHERE vec_id IN (SELECT vec_id FROM embeddings
+                            ORDER BY vec_id LIMIT {{nq}}))
+SELECT q.qid, e.vec_id AS nid,
+       CAST(FLOOR(list_cosine_similarity(qe,
+                    CAST(e.embedding AS DOUBLE[])) * 10000 + 0.5)
+            AS BIGINT) AS sim_bp
+FROM q, embeddings e
+WHERE e.vec_id NOT IN (SELECT qid FROM q)
+  AND list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[]))
+      >= {RANGE_SEARCH_COSINE}
+"""
+
+
 BURST_GAP_MIN = 10
 
 
@@ -4450,6 +4509,7 @@ def queries_registry():
         "kmeans_embed": q_kmeans_embed,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "semdedup_trained": q_semdedup_trained,
+        "range_search": q_range_search,
         "multimodal_image_features": q_multimodal_image_features,
         # (multimodal trio stays registered past the window with pytest
         # coverage in test_ops; audio/video share the image stub pattern)
@@ -4611,6 +4671,7 @@ def oracle_registry():
         "dup_graph_triangles": SQL_DUP_GRAPH_TRIANGLES.format(thr=JACCARD_THRESHOLD),
         "quality_classifier": SQL_QUALITY_CLASSIFIER,
         "events_burst_dedup": SQL_EVENTS_BURST_DEDUP,
+        "range_search": SQL_RANGE_SEARCH.format(nq=N_QUERIES),
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

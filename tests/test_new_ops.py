@@ -584,7 +584,11 @@ def test_registry_window_carries_full_signal():
                    "doc_token_stats", "dedup_exact", "doc_gopher_rules",
                    "near_dup_keep", "doc_decontaminate",
                    # displaced by the round-5-new events_burst_dedup
-                   "source_stats_salted"}
+                   "source_stats_salted",
+                   # late round-5 exact op: the window is saturated with
+                   # this round's first-time rows, so it starts past the
+                   # window (oracle-verified by every check_queries run)
+                   "range_search"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
