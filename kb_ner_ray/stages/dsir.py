@@ -83,7 +83,16 @@ def dsir_weights(docs_ds, *, target_lang: str = "en",
                          "src_c": pa.array(src[nz].astype(np.int64)),
                          "tgt_c": pa.array(tgt[nz].astype(np.int64))})
 
+    def combine_counts(t: pa.Table) -> pa.Table:
+        # in-stream combine level: the driver sees n_blocks/64 bounded
+        # rows, not n_blocks x B partial rows
+        df = (t.to_pandas().groupby("b", as_index=False)
+              [["src_c", "tgt_c"]].sum())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     pdf = (docs_ds.map_batches(count_partial, batch_format="pyarrow")
+           .map_batches(combine_counts, batch_format="pyarrow",
+                        batch_size=64 * B)
            .to_pandas())
     src = np.zeros(B, np.int64)
     tgt = np.zeros(B, np.int64)

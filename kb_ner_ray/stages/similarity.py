@@ -721,11 +721,32 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 5,
             "vec": pa.array([row.tobytes() for row in sums], pa.binary()),
         })
 
+    def combine_partials(t: pa.Table) -> pa.Table:
+        # in-stream combine: collapse each incoming batch of (k x blocks)
+        # partial rows into one k-row model before the driver sees it
+        df = t.to_pandas()
+        kk = int(df["cluster"].max()) + 1 if len(df) else 0
+        rows_c, rows_n, rows_v = [], [], []
+        for cl, grp in df.groupby("cluster"):
+            acc = None
+            for vb in grp["vec"]:
+                arr = np.frombuffer(vb, np.float64)
+                acc = arr.copy() if acc is None else acc + arr
+            rows_c.append(int(cl))
+            rows_n.append(int(grp["n"].sum()))
+            rows_v.append(acc.tobytes())
+        return pa.table({"cluster": pa.array(rows_c, pa.int64()),
+                         "n": pa.array(rows_n, pa.int64()),
+                         "vec": pa.array(rows_v, pa.binary())})
+
     for _ in range(int(iters)):
         cref = ray.put(cents)
-        pdf = emb_ds.map_batches(
+        pdf = (emb_ds.map_batches(
             partial, fn_kwargs={"cref": cref},
-            batch_format="pyarrow").to_pandas()
+            batch_format="pyarrow")
+            .map_batches(combine_partials, batch_format="pyarrow",
+                         batch_size=64 * k)
+            .to_pandas())
         dim = cents.shape[1]
         sums = np.zeros((k, dim), np.float64)
         cnts = np.zeros(k, np.int64)
