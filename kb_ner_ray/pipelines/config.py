@@ -361,6 +361,66 @@ def _stage_shuffle_index(ds, ctx, id_col: str = "doc_id",
     return deterministic_shuffle(ds, id_col=id_col, n_shards=n_shards)
 
 
+@register("pii_scrub")
+def _stage_pii_scrub(ds, ctx, **_):
+    """Redact emails/phones/IPv4 in `text` (C4/Dolma privacy pass):
+    vectorized RE2 kernels, zero shuffles; keeps all input columns and
+    per-doc PII counts (round 5)."""
+    import pyarrow as pa
+
+    from ..stages.textstats import pii_redact
+
+    def scrub(t: pa.Table) -> pa.Table:
+        red = pii_redact(t)
+        out = t.set_column(t.schema.get_field_index("text"), "text",
+                           red["redacted"])
+        for c in ("n_emails", "n_phones", "n_ips"):
+            out = out.append_column(c, red[c])
+        return out
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+@register("quality_classifier")
+def _stage_quality_classifier(ds, ctx, min_bp: int = 5000):
+    """Frozen linear quality-model filter: keep docs with clf_bp >=
+    min_bp (fastText/CCNet inference dataflow, round 5)."""
+    import pyarrow as pa
+
+    from ..stages.textstats import quality_classifier
+
+    def keep(t: pa.Table) -> pa.Table:
+        clf = quality_classifier(t)
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.greater_equal(clf["clf_bp"], min_bp))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+@register("dsir_weights")
+def _stage_dsir_weights(ds, ctx, target_lang: str = "en"):
+    """DSIR hashed-bigram importance weights over (doc_id, text, lang)
+    (round 5)."""
+    from ..stages.dsir import dsir_weights
+
+    return dsir_weights(ds, target_lang=target_lang)
+
+
+@register("snapshot_dedup")
+def _stage_snapshot_dedup(ds, ctx, snapshot: str = "",
+                          bloom_bits: int = 1 << 20):
+    """Bloom-gated incremental dedup of the incoming dataset against a
+    prior-snapshot parquet of (doc_id, text) (round 5)."""
+    import ray.data as rd
+
+    from ..stages.dedup import snapshot_delta_dedup
+
+    assert snapshot, "snapshot_dedup stage needs `snapshot:` parquet path"
+    return snapshot_delta_dedup(rd.read_parquet(snapshot), ds,
+                                bloom_bits=bloom_bits)
+
+
 @register("doc_context")
 def _stage_doc_context(ds, ctx, doc_col: str = "url",
                        order_col: str = "sent_id", text_col: str = "text",

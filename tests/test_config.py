@@ -264,3 +264,51 @@ def test_config_training_data_stages(ray_session, tmp_path):
     idx = build_pipeline(cfg3).to_pandas()
     assert sorted(idx["doc_id"]) == [0, 1, 2]
     assert set(idx.columns) == {"doc_id", "shard", "pos"}
+
+
+def test_config_second_batch_stages(ray_session, tmp_path):
+    """Round-5 second-batch stages compose from YAML-shaped configs:
+    pii_scrub redacts in place and counts, quality_classifier filters by
+    model score, dsir_weights scores language affinity, snapshot_dedup
+    drops previously-crawled docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["mail me bob@x.io now", "clean text here", "seen before"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en", "en", "de"], pa.string())}),
+        str(d / "p.parquet"))
+    snap = tmp_path / "snap.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([900], pa.int64()),
+                  "text": pa.array(["seen before"], pa.string())}),
+        str(snap))
+
+    out = build_pipeline(PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("pii_scrub")])).to_pandas()
+    assert "@" not in " ".join(out["text"])
+    assert out.set_index("doc_id").loc[0, "n_emails"] == 1
+
+    chain = build_pipeline(PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("pii_scrub"),
+                StageConfig("snapshot_dedup",
+                            {"snapshot": str(snap)})])).to_pandas()
+    assert sorted(chain["doc_id"]) == [0, 1]  # 'seen before' dropped
+
+    clf = build_pipeline(PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("quality_classifier",
+                            {"min_bp": 0})])).to_pandas()
+    assert len(clf) == 3  # min_bp=0 keeps all; the stage runs end-to-end
+
+    w = build_pipeline(PipelineConfig(
+        input_path=str(d),
+        stages=[StageConfig("dsir_weights",
+                            {"target_lang": "en"})])).to_pandas()
+    assert set(w.columns) == {"doc_id", "n_bigrams", "dsir_bp"}
