@@ -56,6 +56,9 @@ SIDE_QUERIES = [
     "quality_classifier",
     "dup_graph_triangles",
     "kmeans_embed",
+    "events_burst_dedup",
+    "range_search",
+    "fuzzy_decontaminate",
 ]
 
 
