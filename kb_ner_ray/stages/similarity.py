@@ -725,7 +725,6 @@ def kmeans_embeddings(emb_ds, k: int = 16, iters: int = 5,
         # in-stream combine: collapse each incoming batch of (k x blocks)
         # partial rows into one k-row model before the driver sees it
         df = t.to_pandas()
-        kk = int(df["cluster"].max()) + 1 if len(df) else 0
         rows_c, rows_n, rows_v = [], [], []
         for cl, grp in df.groupby("cluster"):
             acc = None
