@@ -1288,3 +1288,142 @@ def test_events_burst_dedup_semantics(ray_session):
     df.to_parquet(f"{sf}/events.parquet", index=False)
     out = q_events_burst_dedup(sf).to_pandas()
     assert sorted(out["event_id"]) == [1, 3, 4, 5]
+
+
+def test_events_transitions_semantics(ray_session):
+    """Transition matrix: pairs are consecutive WITHIN a user's
+    time-ordered stream only; prob_bp rows per from_type sum to ~1e4;
+    equal-ts order falls back to event_id (the oracle's ORDER BY)."""
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: view -> click -> view  (2 pairs)
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + dt.timedelta(seconds=1)),
+        (3, 1, "view", t0 + dt.timedelta(seconds=2)),
+        # user 2: view -> view (1 pair); no cross-user pair with user 1
+        (4, 2, "view", t0),
+        (5, 2, "view", t0 + dt.timedelta(seconds=1)),
+        # user 3: two events at the SAME ts -> event_id breaks the tie
+        (6, 3, "click", t0), (7, 3, "purchase", t0),
+        # user 4: single event -> no pair
+        (8, 4, "view", t0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    sf = tempfile.mkdtemp(prefix="trans_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_transitions(sf).set_index(["from_type", "to_type"])
+    assert out.loc[("view", "click"), "n_pairs"] == 1
+    assert out.loc[("view", "view"), "n_pairs"] == 1
+    assert out.loc[("click", "view"), "n_pairs"] == 1
+    assert out.loc[("click", "purchase"), "n_pairs"] == 1
+    assert int(out["n_pairs"].sum()) == 4
+    # per-from_type probabilities rebuild the whole distribution
+    sums = out.reset_index().groupby("from_type")["prob_bp"].sum()
+    assert ((sums - 10_000).abs() <= 1).all()
+
+
+def test_events_retention_semantics(ray_session):
+    """Retention: cohort = first active day; same-day repeats collapse;
+    every cohort has an offset-0 row counting its full size."""
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_retention
+
+    d0 = dt.datetime(2026, 1, 1, 9, 30)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, d0), (1, d0 + dt.timedelta(hours=2)),   # day 0 twice
+        (1, d0 + day),                               # day 1
+        (2, d0),                                     # day 0 only
+        (3, d0 + day), (3, d0 + 3 * day),            # cohort day 1
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    sf = tempfile.mkdtemp(prefix="ret_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_retention(sf).to_pandas()
+    out["cohort_day"] = pd.to_datetime(out["cohort_day"])
+    c0 = pd.Timestamp(2026, 1, 1)
+    c1 = pd.Timestamp(2026, 1, 2)
+    idx = out.set_index(["cohort_day", "day_offset"])["n_users"]
+    assert idx[(c0, 0)] == 2          # users 1 and 2
+    assert idx[(c0, 1)] == 1          # user 1 returns
+    assert idx[(c1, 0)] == 1          # user 3's cohort
+    assert idx[(c1, 2)] == 1          # user 3 returns 2 days later
+    assert int(out["n_users"].sum()) == 5  # distinct (user, day) pairs
+
+
+def test_events_decay_score_semantics(ray_session):
+    """Decay score: an event exactly one half-life before t_max carries
+    half the weight of one at t_max; per-user sums are independent."""
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import (DECAY_HALF_LIFE_US,
+                                              q_events_decay_score)
+
+    tmax = dt.datetime(2026, 6, 1)
+    half = dt.timedelta(microseconds=DECAY_HALF_LIFE_US)
+    rows = [
+        (1, tmax, 10.0),              # weight 1.0   -> 100000 bp
+        (2, tmax - half, 10.0),       # weight 0.5   -> 50000 bp
+        (3, tmax - 2 * half, 10.0),   # weight 0.25  -> 25000 bp
+        (4, tmax, 1.0), (4, tmax - half, 2.0),  # 1.0 + 1.0 = 2.0
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    sf = tempfile.mkdtemp(prefix="decay_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_decay_score(sf).to_pandas().set_index("user_id")
+    assert out.loc[1, "score_bp"] == 100_000
+    assert out.loc[2, "score_bp"] == 50_000
+    assert out.loc[3, "score_bp"] == 25_000
+    assert out.loc[4, "score_bp"] == 20_000
+
+
+def test_events_user_mode_tiebreak(ray_session):
+    """Mode: highest count wins; ties break on the LEXICALLY SMALLER
+    type (the oracle's ORDER BY n DESC, event_type)."""
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_user_mode
+
+    rows = ([(1, "view")] * 3 + [(1, "click")] * 2
+            + [(2, "view"), (2, "click")]          # tie -> 'click'
+            + [(3, "purchase")])
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    sf = tempfile.mkdtemp(prefix="mode_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_user_mode(sf).to_pandas().set_index("user_id")
+    assert out.loc[1, "mode_type"] == "view" and out.loc[1, "n_events"] == 3
+    assert out.loc[2, "mode_type"] == "click" and out.loc[2, "n_events"] == 1
+    assert out.loc[3, "mode_type"] == "purchase"
+
+
+def test_dup_graph_degrees_handshake(ray_session):
+    """Degree histogram obeys the handshake lemma against the pair list:
+    sum(degree * n_nodes) == 2 * |pairs| on the same corpus."""
+    from kb_ner_ray.pipelines.queries import (q_dup_graph_degrees,
+                                              q_ngram_jaccard)
+
+    sf = "/root/testdata/sf0.001"
+    hist = q_dup_graph_degrees(sf)
+    n_pairs = len(q_ngram_jaccard(sf))
+    assert int((hist["degree"] * hist["n_nodes"]).sum()) == 2 * n_pairs
+    assert (hist["degree"] > 0).all() and (hist["n_nodes"] > 0).all()
