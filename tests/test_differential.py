@@ -83,7 +83,9 @@ def test_differential_event_ops(ray_session, seed):
     })
     with tempfile.TemporaryDirectory(prefix="diff_events_") as sf:
         events.to_parquet(f"{sf}/events.parquet", index=False)
-        for q in ("events_funnel", "events_burst_dedup"):
+        for q in ("events_funnel", "events_burst_dedup",
+                  "events_transitions", "events_retention",
+                  "events_decay_score", "events_user_mode"):
             _run_pair(q, sf, {"events": events})
 
 
