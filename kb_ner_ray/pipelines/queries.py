@@ -4738,6 +4738,268 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 """
 
 
+def q_events_session_stats(sf_dir: str):
+    """Per-user session summary (session count, total/max events per
+    session, summed in-session dwell time) on top of the SAME 30-minute
+    gap semantics as events_sessionize — the per-user rollup a sampling
+    pipeline reads instead of raw sessions.  ONE coarse user-hash bucket
+    shuffle; inside each bucket session boundaries come from the
+    vectorized sort + shift gap test, and BOTH the per-session and the
+    per-user aggregates complete bucket-locally (a user's sessions never
+    span buckets), so the output is one final row per user.  Dwell sums
+    as INTEGER microseconds — no float crosses the hash."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    mask = _pow2_buckets() - 1
+    gap_us = SESSION_GAP_MIN * 60_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
+        return t.append_column("bucket", b)
+
+    def stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gapv = np.empty(len(g), np.int64)
+        gapv[0] = 0
+        gapv[1:] = us[1:] - us[:-1]
+        sid = np.cumsum(new_user | (gapv > gap_us))
+        sess = (pd.DataFrame({"u": uid, "sid": sid, "t": us})
+                .groupby("sid", sort=False)
+                .agg(u=("u", "first"), ne=("t", "size"),
+                     t0=("t", "min"), t1=("t", "max")))
+        sess["dwell"] = sess["t1"] - sess["t0"]
+        out = (sess.groupby("u")
+               .agg(n_sessions=("ne", "size"), n_events=("ne", "sum"),
+                    max_session_events=("ne", "max"),
+                    sum_dwell_usecs=("dwell", "sum")).reset_index()
+               .rename(columns={"u": "user_id"}))
+        return out.astype(np.int64)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(stats_bucket, batch_format="pandas"))
+
+
+SQL_EVENTS_SESSION_STATS = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+  FROM marked),
+s AS (SELECT user_id, session_id, count(*) AS ne,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell
+      FROM numbered GROUP BY user_id, session_id)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(ne) AS BIGINT) AS n_events,
+       CAST(max(ne) AS BIGINT) AS max_session_events,
+       CAST(sum(dwell) AS BIGINT) AS sum_dwell_usecs
+FROM s GROUP BY user_id
+"""
+
+
+def q_events_attribution(sf_dir: str):
+    """LAST-TOUCH revenue attribution: each purchase's value credits the
+    user's most recent non-purchase event type at-or-before the purchase
+    (the marketing-attribution join every clickstream warehouse runs).
+    ONE coarse user-hash bucket shuffle; inside each bucket the
+    last-non-purchase index is a grouped cummax of candidate row indices
+    SHIFTED one row (both pandas C kernels, no Python loop), so
+    attribution completes bucket-locally; per-bucket partials are
+    type-bounded and the driver combine is the `_tree_agg` contract.
+    Revenue quantized to cents only at the FINAL sum."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type",
+                        "value"])
+    mask = _pow2_buckets() - 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32())
+        return t.append_column("bucket", b)
+
+    def attr_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ty = g["event_type"].to_numpy(object)
+        uid = g["user_id"].to_numpy(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        idx = np.arange(len(g), dtype=np.int64)
+        cand = pd.Series(np.where(ty != "purchase", idx, -1))
+        cm = cand.groupby(uid).cummax()
+        prev = (cm.groupby(uid).shift(1, fill_value=-1)
+                .to_numpy(np.int64))
+        is_p = ty == "purchase"
+        src = prev[is_p]
+        ok = src >= 0
+        out = pd.DataFrame({"source_type": ty[src[ok]],
+                            "value": val[is_p][ok]})
+        return (out.groupby("source_type", as_index=False)
+                .agg(n_purchases=("value", "size"), v=("value", "sum")))
+
+    pdf = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(attr_bucket, batch_format="pandas")
+           .to_pandas())
+    if pdf.empty:
+        return pd.DataFrame({
+            "source_type": pd.Series([], dtype=object),
+            "n_purchases": pd.Series([], dtype=np.int64),
+            "revenue_cents": pd.Series([], dtype=np.int64)})
+    agg = pdf.groupby("source_type", as_index=False).agg(
+        n_purchases=("n_purchases", "sum"), v=("v", "sum"))
+    return pd.DataFrame({"source_type": agg["source_type"],
+                         "n_purchases": agg["n_purchases"].astype(np.int64),
+                         "revenue_cents": _cents(agg["v"])})
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH s AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+  FROM events)
+SELECT src AS source_type,
+       count(*) AS n_purchases,
+       CAST(FLOOR(sum(value) * 100 + 0.5) AS BIGINT) AS revenue_cents
+FROM s WHERE event_type = 'purchase' AND src IS NOT NULL
+GROUP BY src
+"""
+
+
+def q_events_anomaly_p99(sf_dir: str):
+    """Events STRICTLY above their type's exact p99 value — the
+    threshold-then-filter anomaly audit (p99 shares the grouped
+    distributed-selection machinery of events_value_percentiles, so the
+    driver only ever holds bin counts).  After the selection passes, the
+    per-type thresholds (|types| scalars) broadcast and the flag pass is
+    a stateless vectorized filter — values never shuffle, output is
+    ~1% of the stream by construction."""
+    import math
+
+    from ..stages.selection import grouped_exact_kth
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "c": pa.array(_cents(t["value"].to_numpy(
+                zero_copy_only=False)), pa.int64()),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (t.group_by("event_type").aggregate([("c", "count")])
+                .rename_columns(["event_type", "n"]))
+
+    cnt = _tree_agg(cds, ["event_type"], count_partial, {"n": "sum"})
+    ranks = {r.event_type: [max(1, math.ceil(r.n * 0.99))]
+             for r in cnt.itertuples()}
+    got = grouped_exact_kth(cds, "event_type", "c", ranks)
+    thr = {ty: got[(ty, ks[0])] for ty, ks in ranks.items()}
+    tref = ray.put(thr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        p99 = pd.Series(t["event_type"].to_numpy(
+            zero_copy_only=False)).map(th).to_numpy(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        keep = c > p99
+        return pa.table({
+            "event_id": pa.array(t["event_id"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "event_type": pa.array(pd.Series(t["event_type"].to_numpy(
+                zero_copy_only=False)[keep], dtype=object), pa.string()),
+            "value_cents": pa.array(c[keep], pa.int64()),
+            "p99_cents": pa.array(p99[keep], pa.int64()),
+        })
+
+    return cds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_EVENTS_ANOMALY_P99 = """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+t AS (SELECT event_type,
+             max(CASE WHEN rn = GREATEST(1, CAST(ceil(n * 0.99) AS BIGINT))
+                 THEN c END) AS p99
+      FROM r GROUP BY event_type)
+SELECT v.event_id, v.event_type, v.c AS value_cents, t.p99 AS p99_cents
+FROM v JOIN t USING (event_type) WHERE v.c > t.p99
+"""
+
+
+def q_dup_graph_cluster_sizes(sf_dir: str):
+    """Component-SIZE histogram of the near-dup graph (how many
+    2-clusters vs giant chains dedup-apply will collapse) — derived from
+    the same exact-oracled connected-components engine as
+    ngram_jaccard_components.  Per-batch component pre-counts (Arrow
+    group_by), ONE component-hash bucket exchange finishes sizes
+    (a component's rows co-locate), and each bucket emits
+    (size, n_components) partials — size-cardinality-bounded, like
+    dup_graph_degrees' histogram contract."""
+    from ..stages.components import components_from_pairs
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD)
+    comp = components_from_pairs(pairs)
+    mask = _pow2_buckets() - 1
+
+    def pre(t: pa.Table) -> pa.Table:
+        out = (pa.table({"component": t["component"].combine_chunks()
+                         .cast(pa.int64())})
+               .group_by("component").aggregate([("component", "count")]))
+        b = pc.cast(pc.bit_wise_and(out["component"], mask), pa.int32())
+        return out.append_column("bucket", b)
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("component")["component_count"].sum()
+        out = sz.value_counts().reset_index()
+        out.columns = ["size", "n_components"]
+        return out.astype({"size": np.int64, "n_components": np.int64})
+
+    pdf = (comp.map_batches(pre, batch_format="pyarrow")
+           .groupby("bucket").map_groups(sizes, batch_format="pandas")
+           .to_pandas())
+    if pdf.empty:
+        return pd.DataFrame({
+            "size": pd.Series([], dtype=np.int64),
+            "n_components": pd.Series([], dtype=np.int64)})
+    return (pdf.groupby("size", as_index=False)["n_components"].sum()
+            .astype(np.int64))
+
+
+SQL_DUP_GRAPH_CLUSTER_SIZES = (
+    "WITH RECURSIVE "
+    + _SQL_JACCARD_EDGES.strip().removeprefix("WITH ")
+    + """,
+sz AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+SELECT size, count(*) AS n_components FROM sz GROUP BY size
+""")
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -4912,6 +5174,10 @@ def queries_registry():
         "events_decay_score": q_events_decay_score,
         "events_user_mode": q_events_user_mode,
         "dup_graph_degrees": q_dup_graph_degrees,
+        "events_session_stats": q_events_session_stats,
+        "events_attribution": q_events_attribution,
+        "events_anomaly_p99": q_events_anomaly_p99,
+        "dup_graph_cluster_sizes": q_dup_graph_cluster_sizes,
         # The plan-parity duplicates (minhash_dedup_join,
         # ngram_jaccard_salted, {orders_lineitem,revenue_by_nation,
         # events_asof,customers_semi,customers_anti}_bucketed) are NOT
@@ -5012,6 +5278,10 @@ def oracle_registry():
         "events_user_mode": SQL_EVENTS_USER_MODE,
         "dup_graph_degrees": SQL_DUP_GRAPH_DEGREES.format(
             thr=JACCARD_THRESHOLD),
+        "events_session_stats": SQL_EVENTS_SESSION_STATS,
+        "events_attribution": SQL_EVENTS_ATTRIBUTION,
+        "events_anomaly_p99": SQL_EVENTS_ANOMALY_P99,
+        "dup_graph_cluster_sizes": SQL_DUP_GRAPH_CLUSTER_SIZES,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -85,7 +85,9 @@ def test_differential_event_ops(ray_session, seed):
         events.to_parquet(f"{sf}/events.parquet", index=False)
         for q in ("events_funnel", "events_burst_dedup",
                   "events_transitions", "events_retention",
-                  "events_decay_score", "events_user_mode"):
+                  "events_decay_score", "events_user_mode",
+                  "events_session_stats", "events_attribution",
+                  "events_anomaly_p99"):
             _run_pair(q, sf, {"events": events})
 
 

@@ -1427,3 +1427,115 @@ def test_dup_graph_degrees_handshake(ray_session):
     n_pairs = len(q_ngram_jaccard(sf))
     assert int((hist["degree"] * hist["n_nodes"]).sum()) == 2 * n_pairs
     assert (hist["degree"] > 0).all() and (hist["n_nodes"] > 0).all()
+
+
+def test_events_session_stats_semantics(ray_session):
+    """Session stats: 30-min gap splits sessions; dwell is the in-session
+    span only; per-user rollup matches hand counts."""
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_session_stats
+
+    t0 = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: session A = 3 events over 10 min; 40-min gap;
+        # session B = 1 event (zero dwell)
+        (1, 1, t0), (2, 1, t0 + 5 * m), (3, 1, t0 + 10 * m),
+        (4, 1, t0 + 50 * m),
+        # user 2: exactly 30-min gap -> SAME session (gap must EXCEED)
+        (5, 2, t0), (6, 2, t0 + 30 * m),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    sf = tempfile.mkdtemp(prefix="sess_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = (q_events_session_stats(sf).to_pandas()
+           .set_index("user_id"))
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "n_events"] == 4
+    assert out.loc[1, "max_session_events"] == 3
+    assert out.loc[1, "sum_dwell_usecs"] == 10 * 60_000_000
+    assert out.loc[2, "n_sessions"] == 1
+    assert out.loc[2, "sum_dwell_usecs"] == 30 * 60_000_000
+
+
+def test_events_attribution_last_touch(ray_session):
+    """Attribution: purchase credits the LAST non-purchase touch before
+    it (same-user only); a leading purchase with no touch is dropped;
+    purchases between touches don't break the chain."""
+    import datetime as dt
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_attribution
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: view -> click -> purchase(10) -> purchase(5)
+        # both purchases credit 'click' (last non-purchase touch)
+        (1, 1, "view", t0, 0.0), (2, 1, "click", t0 + s, 0.0),
+        (3, 1, "purchase", t0 + 2 * s, 10.0),
+        (4, 1, "purchase", t0 + 3 * s, 5.0),
+        # user 2: purchase with NO prior touch -> unattributed, dropped
+        (5, 2, "purchase", t0, 99.0),
+        # user 3: view -> purchase(2); user 1's click must not leak
+        (6, 3, "view", t0, 0.0), (7, 3, "purchase", t0 + s, 2.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    sf = tempfile.mkdtemp(prefix="attr_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_attribution(sf).set_index("source_type")
+    assert out.loc["click", "n_purchases"] == 2
+    assert out.loc["click", "revenue_cents"] == 1500
+    assert out.loc["view", "n_purchases"] == 1
+    assert out.loc["view", "revenue_cents"] == 200
+    assert int(out["n_purchases"].sum()) == 3  # user 2's is dropped
+
+
+def test_events_anomaly_p99_threshold(ray_session):
+    """Anomaly filter: only values STRICTLY above the type's exact p99
+    survive, and the reported threshold is that p99."""
+    import datetime as dt
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_events_anomaly_p99
+
+    n = 200
+    vals = np.arange(1, n + 1, dtype=np.float64)  # cents = 100..20000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime([dt.datetime(2026, 1, 1)] * n),
+        "event_type": ["click"] * n,
+        "value": vals,
+    })
+    sf = tempfile.mkdtemp(prefix="anom_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = q_events_anomaly_p99(sf).to_pandas()
+    # p99 rank = ceil(200 * .99) = 198 -> threshold 19800 cents;
+    # survivors are the two events above it
+    assert sorted(out["value_cents"]) == [19_900, 20_000]
+    assert (out["p99_cents"] == 19_800).all()
+
+
+def test_dup_graph_cluster_sizes_consistency(ray_session):
+    """Cluster-size histogram re-aggregates the components output:
+    sum(size * n_components) == |component rows| on the same corpus."""
+    from kb_ner_ray.pipelines.queries import (q_dup_graph_cluster_sizes,
+                                              q_ngram_jaccard_components)
+
+    sf = "/root/testdata/sf0.001"
+    hist = q_dup_graph_cluster_sizes(sf)
+    n_nodes = len(q_ngram_jaccard_components(sf))
+    assert int((hist["size"] * hist["n_components"]).sum()) == n_nodes
+    assert (hist["size"] >= 2).all()  # singletons never enter the graph
