@@ -59,6 +59,15 @@ SIDE_QUERIES = [
     "events_burst_dedup",
     "range_search",
     "fuzzy_decontaminate",
+    # round-5 fourth batch
+    "events_transitions",
+    "events_retention",
+    "events_session_stats",
+    "events_attribution",
+    "events_anomaly_p99",
+    "doc_source_overlap",
+    "doc_length_hist",
+    "dup_graph_degrees",
 ]
 
 

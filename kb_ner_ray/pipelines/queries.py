@@ -5000,6 +5000,129 @@ SELECT size, count(*) AS n_components FROM sz GROUP BY size
 """)
 
 
+def q_doc_source_overlap(sf_dir: str):
+    """Cross-source duplicate contamination matrix: for every source
+    pair (and each source with itself), the number of exact-duplicate
+    document pairs spanning them — the ingest diagnostic that says which
+    feeds re-crawl each other before near-dup even runs.  Uses THE
+    shared content-hash contract (stages/dedup.content_md5).  Per-batch
+    (hash, source) counts pre-combine; ONE content-hash bucket exchange
+    co-locates each hash's <= |sources| rows; pair counts come from a
+    bucket-local self-merge (group width is source-bounded, so no hash
+    can skew a reducer) and the per-bucket partial is sources^2-bounded
+    — the `_tree_agg` driver-combine contract.  All-integer math."""
+    from ..stages.dedup import add_content_hash
+    from ..stages.partitioning import bucket_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    nb = _pow2_buckets()
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t)
+        out = (pa.table({"content_hash": t["content_hash"],
+                         "source": t["source"]})
+               .group_by(["content_hash", "source"])
+               .aggregate([("source", "count")]))
+        b = bucket_array(out["content_hash"], nb).astype(np.int32)
+        return out.append_column("bucket", pa.array(b, pa.int32()))
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["content_hash", "source"], as_index=False)
+             ["source_count"].sum())
+        m = c.merge(c, on="content_hash")
+        m = m[m["source_x"] < m["source_y"]]
+        across = pd.DataFrame({
+            "source_a": m["source_x"].to_numpy(object),
+            "source_b": m["source_y"].to_numpy(object),
+            "np": (m["source_count_x"].to_numpy(np.int64)
+                   * m["source_count_y"].to_numpy(np.int64)),
+        })
+        w = c[c["source_count"] > 1]
+        n = w["source_count"].to_numpy(np.int64)
+        within = pd.DataFrame({
+            "source_a": w["source"].to_numpy(object),
+            "source_b": w["source"].to_numpy(object),
+            "np": n * (n - 1) // 2,
+        })
+        both = pd.concat([across, within], ignore_index=True)
+        return (both.groupby(["source_a", "source_b"], as_index=False)
+                ["np"].sum())
+
+    pdf = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("bucket").map_groups(cross, batch_format="pandas")
+           .to_pandas())
+    if pdf.empty:
+        return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                             "source_b": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype=np.int64)})
+    out = (pdf.groupby(["source_a", "source_b"], as_index=False)["np"]
+           .sum().rename(columns={"np": "n_pairs"}))
+    return out.astype({"n_pairs": np.int64})
+
+
+SQL_DOC_SOURCE_OVERLAP = """
+WITH c AS (SELECT md5(text) AS hh, source, count(*) AS n
+           FROM documents GROUP BY md5(text), source),
+x AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n * b.n AS np
+  FROM c a JOIN c b ON a.hh = b.hh AND a.source < b.source
+  UNION ALL
+  SELECT source, source, n * (n - 1) // 2 FROM c WHERE n > 1)
+SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_pairs
+FROM x GROUP BY source_a, source_b
+"""
+
+
+LENGTH_HIST_WIDTH = 32  # tokens per histogram bin
+
+
+def q_doc_length_hist(sf_dir: str):
+    """Equi-width token-count histogram per language — the length
+    profile read before choosing packing budgets and Gopher length
+    gates.  Stateless vectorized Arrow tokenize + bincount partials;
+    (lang, bin) key cardinality grows with the longest document, so
+    partials combine through `_bucketed_agg` (one bounded row per key to
+    the consumer, never n_blocks x keys on the driver).  Empty texts
+    count one token — the regexp_split_to_array('') = [''] oracle
+    contract shared with doc_token_stats."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t["text"]))
+        n = np.maximum(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False), 1)
+        out = (pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "bin": (n // LENGTH_HIST_WIDTH).astype(np.int64)})
+            .groupby(["lang", "bin"], sort=False)
+            .size().reset_index(name="n_docs"))
+        return pa.table({
+            "lang": pa.array(out["lang"].to_numpy(object), pa.string()),
+            "bin": pa.array(out["bin"].to_numpy(np.int64)),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+        })
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(["lang", "bin"], as_index=False)["n_docs"].sum()
+        return pa.table({
+            "lang": pa.array(out["lang"].astype(str)),
+            "bin": pa.array(out["bin"].to_numpy(np.int64)),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+        })
+
+    return _bucketed_agg(ds, ["lang", "bin"], partial, final)
+
+
+SQL_DOC_LENGTH_HIST = f"""
+WITH v AS (SELECT lang,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS n
+           FROM documents)
+SELECT lang, CAST(n // {LENGTH_HIST_WIDTH} AS BIGINT) AS bin,
+       count(*) AS n_docs
+FROM v GROUP BY lang, bin
+"""
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -5178,6 +5301,8 @@ def queries_registry():
         "events_attribution": q_events_attribution,
         "events_anomaly_p99": q_events_anomaly_p99,
         "dup_graph_cluster_sizes": q_dup_graph_cluster_sizes,
+        "doc_source_overlap": q_doc_source_overlap,
+        "doc_length_hist": q_doc_length_hist,
         # The plan-parity duplicates (minhash_dedup_join,
         # ngram_jaccard_salted, {orders_lineitem,revenue_by_nation,
         # events_asof,customers_semi,customers_anti}_bucketed) are NOT
@@ -5282,6 +5407,8 @@ def oracle_registry():
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_anomaly_p99": SQL_EVENTS_ANOMALY_P99,
         "dup_graph_cluster_sizes": SQL_DUP_GRAPH_CLUSTER_SIZES,
+        "doc_source_overlap": SQL_DOC_SOURCE_OVERLAP,
+        "doc_length_hist": SQL_DOC_LENGTH_HIST,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

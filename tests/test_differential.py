@@ -61,7 +61,11 @@ def test_differential_document_ops(ray_session, seed):
     with tempfile.TemporaryDirectory(prefix="diff_docs_") as sf:
         docs.to_parquet(f"{sf}/documents.parquet", index=False)
         for q in ("doc_pii_redact", "quality_classifier", "dsir_weights",
-                  "snapshot_delta", "doc_token_entropy"):
+                  "snapshot_delta", "doc_token_entropy",
+                  # the random corpus PLANTS exact duplicates, so the
+                  # overlap matrix is non-vacuous here (the driver corpus
+                  # has no full-text dups and yields 0 rows)
+                  "doc_source_overlap", "doc_length_hist"):
             _run_pair(q, sf, {"documents": docs})
 
 

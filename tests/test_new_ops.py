@@ -1539,3 +1539,60 @@ def test_dup_graph_cluster_sizes_consistency(ray_session):
     n_nodes = len(q_ngram_jaccard_components(sf))
     assert int((hist["size"] * hist["n_components"]).sum()) == n_nodes
     assert (hist["size"] >= 2).all()  # singletons never enter the graph
+
+
+def test_doc_source_overlap_planted(ray_session):
+    """Cross-source dup matrix: planted duplicate groups produce exact
+    n*m cross counts and n*(n-1)/2 within counts; unique docs never
+    pair."""
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_doc_source_overlap
+
+    rows = [
+        # "alpha" appears 2x in s0 and 1x in s1:
+        #   (s0, s0) += 1, (s0, s1) += 2
+        (0, "alpha text", "s0"), (1, "alpha text", "s0"),
+        (2, "alpha text", "s1"),
+        # "beta" appears once per source -> cross only
+        (3, "beta body", "s0"), (4, "beta body", "s1"),
+        # unique doc -> contributes nothing
+        (5, "gamma solo", "s1"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    sf = tempfile.mkdtemp(prefix="overlap_")
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+    out = (q_doc_source_overlap(sf)
+           .set_index(["source_a", "source_b"])["n_pairs"])
+    assert out[("s0", "s0")] == 1
+    assert out[("s0", "s1")] == 3   # 2x1 (alpha) + 1x1 (beta)
+    assert len(out) == 2
+
+
+def test_doc_length_hist_bins(ray_session):
+    """Length histogram: bin = n_tokens // 32; empty text counts one
+    token (the regexp_split oracle contract)."""
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import (LENGTH_HIST_WIDTH,
+                                              q_doc_length_hist)
+
+    rows = [
+        (0, " ".join(["w"] * 5), "en"),     # bin 0
+        (1, " ".join(["w"] * 31), "en"),    # bin 0
+        (2, " ".join(["w"] * 32), "en"),    # bin 1
+        (3, "", "de"),                       # 1 token -> bin 0
+        (4, " ".join(["w"] * 64), "de"),    # bin 2
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    sf = tempfile.mkdtemp(prefix="lenhist_")
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+    assert LENGTH_HIST_WIDTH == 32
+    out = (q_doc_length_hist(sf).to_pandas()
+           .set_index(["lang", "bin"])["n_docs"])
+    assert out[("en", 0)] == 2 and out[("en", 1)] == 1
+    assert out[("de", 0)] == 1 and out[("de", 2)] == 1
