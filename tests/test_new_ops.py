@@ -588,7 +588,18 @@ def test_registry_window_carries_full_signal():
                    # late round-5 exact op: the window is saturated with
                    # this round's first-time rows, so it starts past the
                    # window (oracle-verified by every check_queries run)
-                   "range_search"}
+                   "range_search",
+                   # round-5 fourth batch: NEW exacts registered past the
+                   # saturated window (first driver rows deferred to a
+                   # future rotation; verified by every check_queries run
+                   # AND the randomized differential gate over planted
+                   # random tables)
+                   "events_transitions", "events_retention",
+                   "events_decay_score", "events_user_mode",
+                   "dup_graph_degrees", "events_session_stats",
+                   "events_attribution", "events_anomaly_p99",
+                   "dup_graph_cluster_sizes", "doc_source_overlap",
+                   "doc_length_hist"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
