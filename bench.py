@@ -68,6 +68,7 @@ SIDE_QUERIES = [
     "doc_source_overlap",
     "doc_length_hist",
     "dup_graph_degrees",
+    "doc_top_bigrams",
 ]
 
 

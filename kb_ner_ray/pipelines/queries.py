@@ -5123,6 +5123,77 @@ FROM v GROUP BY lang, bin
 """
 
 
+TOP_BIGRAMS_K = 20
+
+
+def q_doc_top_bigrams(sf_dir: str):
+    """Corpus-wide top-K word-bigram collocations by raw count — the
+    phrase-mining companion to doc_pmi (PMI scores windowed pairs;
+    this ranks adjacent pairs by frequency for stop-phrase lists and
+    tokenizer-merge seeding).  Vectorized shifted-array pair extraction
+    (shared sparse tokenizer), per-batch pre-agg bounds a hot bigram to
+    ONE partial row per block, ONE bigram-hash bucket exchange of
+    partial COUNT rows, per-bucket exact top-K — buckets partition the
+    key space, so the global top-K of the n_buckets x K candidates is
+    exact.  Deterministic (count desc, a asc, b asc) order on both
+    engines."""
+    from ..stages.partitioning import bucket_multi, default_buckets
+    from ..stages.sparse import _tokenize_batch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    nb = default_buckets()
+    k = TOP_BIGRAMS_K
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, di, _l = _tokenize_batch(t, "text")
+        toks = flat.to_numpy(zero_copy_only=False)
+        same = di[1:] == di[:-1]
+        out = (pd.DataFrame({"a": toks[:-1][same], "b": toks[1:][same]})
+               .groupby(["a", "b"], sort=False)
+               .size().reset_index(name="c"))
+        tbl = pa.table({
+            "a": pa.array(out["a"].to_numpy(object), pa.string()),
+            "b": pa.array(out["b"].to_numpy(object), pa.string()),
+            "c": pa.array(out["c"].to_numpy(np.int64)),
+        })
+        bkt = bucket_multi([tbl["a"], tbl["b"]], nb)
+        return tbl.append_column("__b", pa.array(bkt, pa.int32()))
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["c"].sum()
+        return out.sort_values(["c", "a", "b"],
+                               ascending=[False, True, True]).head(k)
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("__b").map_groups(topk_bucket, batch_format="pandas")
+           .to_pandas())
+    if pdf.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "n_occurrences": pd.Series([], dtype=np.int64),
+                             "rnk": pd.Series([], dtype=np.int64)})
+    top = (pdf.sort_values(["c", "a", "b"], ascending=[False, True, True])
+           .head(k).reset_index(drop=True)
+           .rename(columns={"c": "n_occurrences"}))
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top.astype({"n_occurrences": np.int64})
+
+
+SQL_DOC_TOP_BIGRAMS = rf"""
+WITH arrs AS (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents),
+toks AS (SELECT arr, i
+         FROM arrs,
+              unnest(generate_series(1, array_length(arr) - 1)) AS g(i)),
+c2 AS (SELECT arr[i] AS a, arr[i + 1] AS b, count(*) AS n_occurrences
+       FROM toks GROUP BY a, b),
+r AS (SELECT a, b, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, a, b) AS rnk
+      FROM c2)
+SELECT a, b, n_occurrences, rnk FROM r WHERE rnk <= {TOP_BIGRAMS_K}
+"""
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -5303,6 +5374,7 @@ def queries_registry():
         "dup_graph_cluster_sizes": q_dup_graph_cluster_sizes,
         "doc_source_overlap": q_doc_source_overlap,
         "doc_length_hist": q_doc_length_hist,
+        "doc_top_bigrams": q_doc_top_bigrams,
         # The plan-parity duplicates (minhash_dedup_join,
         # ngram_jaccard_salted, {orders_lineitem,revenue_by_nation,
         # events_asof,customers_semi,customers_anti}_bucketed) are NOT
@@ -5409,6 +5481,7 @@ def oracle_registry():
         "dup_graph_cluster_sizes": SQL_DUP_GRAPH_CLUSTER_SIZES,
         "doc_source_overlap": SQL_DOC_SOURCE_OVERLAP,
         "doc_length_hist": SQL_DOC_LENGTH_HIST,
+        "doc_top_bigrams": SQL_DOC_TOP_BIGRAMS,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

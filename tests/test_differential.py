@@ -65,7 +65,8 @@ def test_differential_document_ops(ray_session, seed):
                   # the random corpus PLANTS exact duplicates, so the
                   # overlap matrix is non-vacuous here (the driver corpus
                   # has no full-text dups and yields 0 rows)
-                  "doc_source_overlap", "doc_length_hist"):
+                  "doc_source_overlap", "doc_length_hist",
+                  "doc_top_bigrams"):
             _run_pair(q, sf, {"documents": docs})
 
 

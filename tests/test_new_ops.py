@@ -599,7 +599,7 @@ def test_registry_window_carries_full_signal():
                    "dup_graph_degrees", "events_session_stats",
                    "events_attribution", "events_anomaly_p99",
                    "dup_graph_cluster_sizes", "doc_source_overlap",
-                   "doc_length_hist"}
+                   "doc_length_hist", "doc_top_bigrams"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -1607,3 +1607,91 @@ def test_doc_length_hist_bins(ray_session):
            .set_index(["lang", "bin"])["n_docs"])
     assert out[("en", 0)] == 2 and out[("en", 1)] == 1
     assert out[("de", 0)] == 1 and out[("de", 2)] == 1
+
+
+def test_doc_top_bigrams_ordering(ray_session):
+    """Collocations: counts are corpus-global, rank order is
+    (count desc, a asc, b asc), cross-document token pairs never form."""
+    import tempfile
+
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import q_doc_top_bigrams
+
+    rows = [
+        (0, "x y x y x y"),      # (x,y)*3 (y,x)*2
+        (1, "x y"),              # (x,y) -> 4 total
+        (2, "a b"), (3, "a b"),  # (a,b)*2 -- ties (y,x) at 2
+        (4, "z"),                # single token: no pair
+        (5, ""),                 # empty: no pair
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf = tempfile.mkdtemp(prefix="bigrams_")
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+    out = q_doc_top_bigrams(sf)
+    assert list(out.loc[0, ["a", "b", "n_occurrences", "rnk"]]) == [
+        "x", "y", 4, 1]
+    # tie at count 2: ('a','b') sorts before ('y','x')
+    assert list(out.loc[1, ["a", "b"]]) == ["a", "b"]
+    assert list(out.loc[2, ["a", "b"]]) == ["y", "x"]
+    assert len(out) == 3
+
+
+def test_event_user_ops_under_planted_skew(ray_session):
+    """A HOT user holding 60% of all events (the coarse user-hash bucket
+    plan co-locates each user) must not change correctness: transitions,
+    session stats, and mode all match a single-process pandas
+    recomputation on the same skewed stream."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import (SESSION_GAP_MIN,
+                                              q_events_session_stats,
+                                              q_events_transitions,
+                                              q_events_user_mode)
+
+    rng = np.random.default_rng(7)
+    n = 2_000
+    uid = np.where(rng.random(n) < 0.6, 1,
+                   rng.integers(2, 40, size=n)).astype(np.int64)
+    ts = (pd.Timestamp("2026-01-01")
+          + pd.to_timedelta(np.sort(rng.integers(0, 5_000_000, size=n)),
+                            unit="s"))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": uid,
+        "ts": ts,
+        "event_type": rng.choice(["view", "click", "purchase"], size=n),
+    })
+    sf = tempfile.mkdtemp(prefix="skew_")
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+
+    # --- single-process references -------------------------------------
+    g = df.sort_values(["user_id", "ts", "event_id"])
+    same = g["user_id"].eq(g["user_id"].shift(-1)).to_numpy()[:-1]
+    ty = g["event_type"].to_numpy(object)
+    want_pairs = (pd.DataFrame({"f": ty[:-1][same], "t": ty[1:][same]})
+                  .groupby(["f", "t"]).size())
+    got = q_events_transitions(sf).set_index(["from_type", "to_type"])
+    assert got["n_pairs"].to_dict() == want_pairs.to_dict()
+
+    us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    new_user = np.r_[True, g["user_id"].to_numpy()[1:]
+                     != g["user_id"].to_numpy()[:-1]]
+    gap = np.r_[0, us[1:] - us[:-1]]
+    sid = np.cumsum(new_user | (gap > SESSION_GAP_MIN * 60_000_000))
+    sess = (pd.DataFrame({"u": g["user_id"].to_numpy(), "sid": sid})
+            .groupby("u")["sid"].nunique())
+    stats = q_events_session_stats(sf).to_pandas().set_index("user_id")
+    assert stats["n_sessions"].to_dict() == sess.to_dict()
+    assert int(stats["n_events"].sum()) == n
+
+    want_mode = (df.groupby(["user_id", "event_type"]).size()
+                 .reset_index(name="n")
+                 .sort_values(["user_id", "n", "event_type"],
+                              ascending=[True, False, True])
+                 .drop_duplicates("user_id").set_index("user_id"))
+    mode = q_events_user_mode(sf).to_pandas().set_index("user_id")
+    assert mode["mode_type"].to_dict() == want_mode["event_type"].to_dict()
