@@ -69,6 +69,7 @@ SIDE_QUERIES = [
     "doc_length_hist",
     "dup_graph_degrees",
     "doc_top_bigrams",
+    "local_supplier_revenue",
 ]
 
 

@@ -5194,6 +5194,219 @@ SELECT a, b, n_occurrences, rnk FROM r WHERE rnk <= {TOP_BIGRAMS_K}
 """
 
 
+Q5_REGION = "ASIA"
+
+
+def _q5_region_nations(sf_dir: str):
+    """(sorted nationkeys, names in that order) for Q5_REGION — the tiny
+    driver-side dimension head shared by both Q5 plans."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = dict(zip(region.column("r_regionkey").to_pylist(),
+                  region.column("r_name").to_pylist()))
+    nk = nation.column("n_nationkey").to_numpy()
+    nr = nation.column("n_regionkey").to_pylist()
+    names = nation.column("n_name").to_pylist()
+    keep = np.array([rk.get(r) == Q5_REGION for r in nr], bool)
+    kept_keys = nk[keep]
+    kept_names = [names[i] for i in np.flatnonzero(keep)]
+    order = np.argsort(kept_keys)
+    return kept_keys[order], [kept_names[i] for i in order]
+
+
+def _q5_finalize(pdf: pd.DataFrame, nat_names: list) -> pd.DataFrame:
+    agg = pdf.groupby("code", as_index=False).agg(
+        revenue_sum=("revenue_sum", "sum"), n=("revenue_count", "sum"))
+    agg = agg[agg["n"] > 0]
+    return (pd.DataFrame({
+        "n_name": [nat_names[int(c)] for c in agg["code"]],
+        "n_local_lineitems": agg["n"].to_numpy(np.int64),
+        "revenue_cents": _cents(agg["revenue_sum"]),
+    }).sort_values("n_name").reset_index(drop=True))
+
+
+def q_local_supplier_revenue(sf_dir: str, plan: str = "auto"):
+    """TPC-H Q5-shaped LOCAL-SUPPLIER revenue: lineitems whose CUSTOMER
+    (via orders) and SUPPLIER sit in the SAME nation of one region — the
+    classic 6-table star join (region/nation/customer/orders/supplier
+    dims around the lineitem fact).  AUTO-SELECTED plan:
+
+    * broadcast (below BROADCAST_MAX_BYTES for orders+customer+supplier):
+      both dimension chains compose driver-side into sorted key arrays +
+      dense nation codes (orderkey -> customer nation; suppkey ->
+      supplier nation), ``ray.put`` once, and the single fact scan probes
+      both with searchsorted, keeps code-equal rows and pre-aggregates
+      with bincount — ZERO shuffles, nation-bounded partials;
+    * bucketed (above the gate / plan='bucketed'): three co-partitioned
+      hash joins (orders x customer on custkey, lineitem x that on
+      orderkey, x supplier on suppkey) with the region filter pushed into
+      the dimension reads, then the same nation-code partial combine.
+      Plan parity is pinned by pytest."""
+    if plan == "auto":
+        big = (_table_bytes(sf_dir, "orders")
+               + _table_bytes(sf_dir, "customer")
+               + _table_bytes(sf_dir, "supplier")) > BROADCAST_MAX_BYTES
+        plan = "bucketed" if big else "broadcast"
+    if plan == "bucketed":
+        return q_local_supplier_revenue_bucketed(sf_dir)
+    import pyarrow.parquet as pq
+
+    nat_sorted, nat_names = _q5_region_nations(sf_dir)
+    n_codes = len(nat_sorted)
+    # customer chain: custkey(sorted) -> region nation code (inner)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy()
+    co = np.argsort(ck)
+    ci, cv = _probe_sorted(nat_sorted,
+                           cust.column("c_nationkey").to_numpy()[co])
+    ck_sorted = ck[co][cv]
+    c_code = ci[cv]
+    # orders chain: orderkey(sorted) -> customer nation code
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    ok = orders.column("o_orderkey").to_numpy()
+    oo = np.argsort(ok)
+    oi, ov = _probe_sorted(ck_sorted,
+                           orders.column("o_custkey").to_numpy()[oo])
+    ok_sorted = ok[oo][ov]
+    o_code = c_code[oi[ov]]
+    # supplier chain: suppkey(sorted) -> region nation code
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    so = np.argsort(sk)
+    si, sv = _probe_sorted(nat_sorted,
+                           sup.column("s_nationkey").to_numpy()[so])
+    sk_sorted = sk[so][sv]
+    s_code = si[sv]
+    ref = ray.put((ok_sorted, o_code.astype(np.int64),
+                   sk_sorted, s_code.astype(np.int64)))
+
+    from ..stages.similarity import _cached_state
+
+    def join_partial(t: pa.Table, ref=ref) -> pa.Table:
+        oks, ocode, sks, scode = _cached_state(ref, lambda x: x)
+        i1, v1 = _probe_sorted(oks, t["l_orderkey"].to_numpy())
+        i2, v2 = _probe_sorted(sks, t["l_suppkey"].to_numpy())
+        valid = v1 & v2
+        cc = ocode[i1[valid]]
+        same = cc == scode[i2[valid]]
+        code = cc[same]
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))[valid][same]
+        return pa.table({
+            "code": pa.array(np.arange(n_codes), pa.int64()),
+            "revenue_sum": pa.array(
+                np.bincount(code, weights=rev, minlength=n_codes),
+                pa.float64()),
+            "revenue_count": pa.array(
+                np.bincount(code, minlength=n_codes).astype(np.int64),
+                pa.int64()),
+        })
+
+    pdf = (_read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"])
+           .map_batches(join_partial, batch_format="pyarrow")
+           .to_pandas())
+    return _q5_finalize(pdf, nat_names)
+
+
+def q_local_supplier_revenue_bucketed(sf_dir: str):
+    """Q5 above the broadcast gate: three co-partitioned hash joins (the
+    general plan when no dimension chain fits a worker).  Region filter
+    pushed into the customer/supplier reads; join payloads are key +
+    nation-code ints only; the post-join scan emits nation-bounded
+    bincount partials."""
+    from ..stages.joins import hash_join
+
+    nat_sorted, nat_names = _q5_region_nations(sf_dir)
+    n_codes = len(nat_sorted)
+    nref = ray.put(nat_sorted)
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        ns = ray.get(nref)
+        i, v = _probe_sorted(ns, t["c_nationkey"].to_numpy())
+        return pa.table({
+            "o_custkey": pa.array(t["c_custkey"].to_numpy()[v]),
+            "cust_code": pa.array(i[v].astype(np.int64)),
+        })
+
+    def sup_prep(t: pa.Table) -> pa.Table:
+        ns = ray.get(nref)
+        i, v = _probe_sorted(ns, t["s_nationkey"].to_numpy())
+        return pa.table({
+            "l_suppkey": pa.array(t["s_suppkey"].to_numpy()[v]),
+            "supp_code": pa.array(i[v].astype(np.int64)),
+        })
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+            .map_batches(cust_prep, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(orders, cust, on="o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "cust_code"]),
+        batch_format="pyarrow")
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        rev = (t["l_extendedprice"].to_numpy()
+               * (1.0 - t["l_discount"].to_numpy()))
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev": pa.array(rev, pa.float64()),
+        })
+
+    line = (_read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+    j2 = hash_join(line, j1, on="o_orderkey").map_batches(
+        lambda t: t.select(["l_suppkey", "cust_code", "rev"]),
+        batch_format="pyarrow")
+    sup = (_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+           .map_batches(sup_prep, batch_format="pyarrow"))
+    j3 = hash_join(j2, sup, on="l_suppkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cc = t["cust_code"].to_numpy(zero_copy_only=False)
+        sc = t["supp_code"].to_numpy(zero_copy_only=False)
+        same = cc == sc
+        code = cc[same].astype(np.int64)
+        rev = t["rev"].to_numpy(zero_copy_only=False)[same]
+        return pa.table({
+            "code": pa.array(np.arange(n_codes), pa.int64()),
+            "revenue_sum": pa.array(
+                np.bincount(code, weights=rev, minlength=n_codes),
+                pa.float64()),
+            "revenue_count": pa.array(
+                np.bincount(code, minlength=n_codes).astype(np.int64),
+                pa.int64()),
+        })
+
+    pdf = (j3.map_batches(partial, batch_format="pyarrow").to_pandas())
+    return _q5_finalize(pdf, nat_names)
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = f"""
+SELECT n.n_name,
+       count(*) AS n_local_lineitems,
+       CAST(FLOOR(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+             AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+GROUP BY n.n_name
+"""
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -5375,6 +5588,7 @@ def queries_registry():
         "doc_source_overlap": q_doc_source_overlap,
         "doc_length_hist": q_doc_length_hist,
         "doc_top_bigrams": q_doc_top_bigrams,
+        "local_supplier_revenue": q_local_supplier_revenue,
         # The plan-parity duplicates (minhash_dedup_join,
         # ngram_jaccard_salted, {orders_lineitem,revenue_by_nation,
         # events_asof,customers_semi,customers_anti}_bucketed) are NOT
@@ -5482,6 +5696,7 @@ def oracle_registry():
         "doc_source_overlap": SQL_DOC_SOURCE_OVERLAP,
         "doc_length_hist": SQL_DOC_LENGTH_HIST,
         "doc_top_bigrams": SQL_DOC_TOP_BIGRAMS,
+        "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

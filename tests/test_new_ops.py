@@ -599,7 +599,8 @@ def test_registry_window_carries_full_signal():
                    "dup_graph_degrees", "events_session_stats",
                    "events_attribution", "events_anomaly_p99",
                    "dup_graph_cluster_sizes", "doc_source_overlap",
-                   "doc_length_hist", "doc_top_bigrams"}
+                   "doc_length_hist", "doc_top_bigrams",
+                   "local_supplier_revenue"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
@@ -1695,3 +1696,19 @@ def test_event_user_ops_under_planted_skew(ray_session):
                  .drop_duplicates("user_id").set_index("user_id"))
     mode = q_events_user_mode(sf).to_pandas().set_index("user_id")
     assert mode["mode_type"].to_dict() == want_mode["event_type"].to_dict()
+
+
+def test_local_supplier_revenue_plan_parity(ray_session):
+    """Q5: the bucketed 3-hash-join plan returns exactly the broadcast
+    plan's rows (the above-gate path must not change semantics)."""
+    import pandas as pd
+
+    from kb_ner_ray.pipelines.queries import (
+        q_local_supplier_revenue, q_local_supplier_revenue_bucketed)
+
+    sf = "/root/testdata/sf0.001"
+    a = q_local_supplier_revenue(sf, plan="broadcast")
+    b = q_local_supplier_revenue_bucketed(sf)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) >= 1 and (a["revenue_cents"] > 0).all()
