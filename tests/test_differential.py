@@ -109,4 +109,72 @@ def test_differential_embedding_ops(ray_session, seed):
     })
     with tempfile.TemporaryDirectory(prefix="diff_emb_") as sf:
         emb.to_parquet(f"{sf}/embeddings.parquet", index=False)
-        _run_pair("semdedup", sf, {"embeddings": emb})
+        for q in ("semdedup", "knn_bruteforce", "range_search",
+                  "embed_outliers", "embed_near_dup"):
+            _run_pair(q, sf, {"embeddings": emb})
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_differential_relational_ops(ray_session, seed):
+    """Random TPC-H-shaped tables with DELIBERATE referential breakage
+    (orders without customers, lineitems without orders/suppliers,
+    customers with unknown nations): the inner-join valid-mask paths
+    must agree with the SQL oracles on every dropped row."""
+    rng = np.random.default_rng(300 + seed)
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(5, dtype=np.int64),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+    })
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(12, dtype=np.int64),
+        "n_name": [f"N{i:02d}" for i in range(12)],
+        "n_regionkey": rng.integers(0, 5, 12).astype(np.int64),
+    })
+    nc, no_, nl, ns = 40, 120, 400, 15
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(nc, dtype=np.int64),
+        "c_name": [f"C{i}" for i in range(nc)],
+        # keys 12/13 have no nation row -> inner joins must drop them
+        "c_nationkey": rng.integers(0, 14, nc).astype(np.int64),
+        "c_acctbal": rng.random(nc) * 1000,
+        "c_mktsegment": rng.choice(["A", "B"], nc),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(no_, dtype=np.int64),
+        "o_custkey": rng.integers(0, nc + 5, no_).astype(np.int64),
+        "o_orderstatus": rng.choice(["O", "F"], no_),
+        "o_totalprice": rng.random(no_) * 1e4,
+        "o_orderdate": (pd.Timestamp("2026-01-01") + pd.to_timedelta(
+            rng.integers(0, 300, no_), unit="D")),
+        "o_orderpriority": rng.choice(["1-URGENT", "3-MEDIUM"], no_),
+    })
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(0, no_ + 10, nl).astype(np.int64),
+        "l_partkey": rng.integers(0, 50, nl).astype(np.int64),
+        "l_suppkey": rng.integers(0, ns + 3, nl).astype(np.int64),
+        "l_linenumber": (np.arange(nl, dtype=np.int64) % 7),
+        "l_quantity": rng.integers(1, 50, nl).astype(np.float64),
+        "l_extendedprice": rng.random(nl) * 1e3,
+        "l_discount": rng.random(nl) * 0.1,
+        "l_tax": rng.random(nl) * 0.08,
+        "l_returnflag": rng.choice(["A", "N", "R"], nl),
+        "l_linestatus": rng.choice(["O", "F"], nl),
+        "l_shipdate": (pd.Timestamp("2026-01-01") + pd.to_timedelta(
+            rng.integers(0, 300, nl), unit="D")),
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(ns, dtype=np.int64),
+        "s_name": [f"S{i}" for i in range(ns)],
+        "s_nationkey": rng.integers(0, 14, ns).astype(np.int64),
+        "s_acctbal": rng.random(ns) * 1000,
+    })
+    tables = {"region": region, "nation": nation, "customer": customer,
+              "orders": orders, "lineitem": lineitem,
+              "supplier": supplier}
+    with tempfile.TemporaryDirectory(prefix="diff_rel_") as sf:
+        for t, df in tables.items():
+            df.to_parquet(f"{sf}/{t}.parquet", index=False)
+        for q in ("pricing_summary", "revenue_by_nation",
+                  "customer_rollup", "local_supplier_revenue",
+                  "orders_lineitem_join", "nation_acctbal_minmax"):
+            _run_pair(q, sf, tables)
