@@ -70,6 +70,7 @@ SIDE_QUERIES = [
     "dup_graph_degrees",
     "doc_top_bigrams",
     "local_supplier_revenue",
+    "events_hourly_uniques",
 ]
 
 

@@ -5407,6 +5407,57 @@ GROUP BY n.n_name
 """
 
 
+def q_events_hourly_uniques(sf_dir: str):
+    """DISTINCT users per tumbling hour — the windowed-distinct family
+    (events_hourly counts rows; this counts users, the DAU-style signal
+    at hour grain).  Plan: per-batch (user, hour) Arrow DEDUP partials ->
+    ONE user-hash bucket shuffle (a user's pairs co-locate, so the
+    cross-batch distinct completes bucket-locally and per-(hour) counts
+    are ADDITIVE across buckets — no global distinct, no count-distinct
+    shuffle) -> second exchange moves hour-keyed COUNT rows only
+    (time-span-bounded), same two-exchange shape as events_retention."""
+    from ..stages.partitioning import bucket_multi, default_buckets
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    mask = _pow2_buckets() - 1
+    nb = default_buckets()
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        out = (pa.table({"user_id": t["user_id"], "hour": hour})
+               .group_by(["user_id", "hour"]).aggregate([]))
+        b = pc.cast(pc.bit_wise_and(out["user_id"], mask), pa.int32())
+        return out.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "hour"])
+        part = (g.groupby("hour", sort=False)
+                .size().reset_index(name="n_users"))
+        part["hour"] = part["hour"].to_numpy("datetime64[us]")
+        part["__b2"] = bucket_multi([pa.array(part["hour"])], nb)
+        return part
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("hour", as_index=False)["n_users"].sum()
+        return pa.table({
+            "hour": pa.array(out["hour"].to_numpy()
+                             .astype("datetime64[us]")),
+            "n_users": pa.array(out["n_users"].to_numpy(np.int64)),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas")
+            .groupby("__b2").map_groups(final, batch_format="pandas"))
+
+
+SQL_EVENTS_HOURLY_UNIQUES = """
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY hour
+"""
+
+
 def queries_registry():
     """Registry order is LOAD-BEARING: the correctness driver checks the
     FIRST 50 entries only (round-2 verdict: the flagship kg_* chain was
@@ -5589,6 +5640,7 @@ def queries_registry():
         "doc_length_hist": q_doc_length_hist,
         "doc_top_bigrams": q_doc_top_bigrams,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "events_hourly_uniques": q_events_hourly_uniques,
         # The plan-parity duplicates (minhash_dedup_join,
         # ngram_jaccard_salted, {orders_lineitem,revenue_by_nation,
         # events_asof,customers_semi,customers_anti}_bucketed) are NOT
@@ -5697,6 +5749,7 @@ def oracle_registry():
         "doc_length_hist": SQL_DOC_LENGTH_HIST,
         "doc_top_bigrams": SQL_DOC_TOP_BIGRAMS,
         "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
+        "events_hourly_uniques": SQL_EVENTS_HOURLY_UNIQUES,
         "corpus_prep": SQL_CORPUS_PREP,
         "doc_splits": SQL_DOC_SPLITS,
         "kg_extract_docs": SQL_KG_EXTRACT,

@@ -92,7 +92,7 @@ def test_differential_event_ops(ray_session, seed):
                   "events_transitions", "events_retention",
                   "events_decay_score", "events_user_mode",
                   "events_session_stats", "events_attribution",
-                  "events_anomaly_p99"):
+                  "events_anomaly_p99", "events_hourly_uniques"):
             _run_pair(q, sf, {"events": events})
 
 

@@ -600,7 +600,7 @@ def test_registry_window_carries_full_signal():
                    "events_attribution", "events_anomaly_p99",
                    "dup_graph_cluster_sizes", "doc_source_overlap",
                    "doc_length_hist", "doc_top_bigrams",
-                   "local_supplier_revenue"}
+                   "local_supplier_revenue", "events_hourly_uniques"}
     outside = [n for i, n in enumerate(names)
                if i >= 50 and n in oracles and n not in rotated_out]
     assert not outside, outside
